@@ -1,0 +1,442 @@
+"""MS-UNet building blocks (flax.linen, NHWC, TPU-first).
+
+Module/parameter naming intentionally mirrors the reference PyTorch model
+(reference ``network/model_parts.py``) so the checkpoint converter in
+``models/weight_convert.py`` is a mechanical key mapping:
+
+    torch ``layers.0.blocks.1.attn.qkv.weight``
+    ->  flax ``params['layers_0']['blocks_1']['attn']['qkv']['kernel']`` (T)
+
+Numerical contract replicated from torchvision's ``SwinTransformerBlock``
+(consumed by the reference at ``model_parts.py:36,143-151``): pre-LN,
+fused qkv with bias, relative position bias table of ``(2w-1)^2 × heads``,
+exact-erf GELU, per-sample ("row") stochastic depth on both residuals.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import patch_ops
+from ..ops.window_attention import shifted_window_attention
+
+# torch nn.LayerNorm epsilon (parity with the reference's norm layers)
+LN_EPS = 1e-5
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+# torch Conv2d default (kaiming_uniform with a=sqrt(5)) == variance_scaling(1/3)
+conv_torch_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default is the exact erf formulation, not tanh approx.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def layer_norm(name: str, dtype: jnp.dtype = jnp.float32) -> nn.LayerNorm:
+    """LayerNorm with torch epsilon; stats in fp32, output in ``dtype``."""
+    return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
+
+
+class DenseParams(nn.Module):
+    """Parameter holder for a linear layer consumed by a fused op.
+
+    Keeps the ``<name>/kernel`` + ``<name>/bias`` param layout of
+    ``nn.Dense`` while letting the (possibly Pallas) op own the compute.
+    """
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", trunc_normal_init, (self.features_in, self.features_out),
+            jnp.float32,
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+            )
+
+    def __call__(self) -> Tuple[jax.Array, Optional[jax.Array]]:
+        return self.kernel, (self.bias if self.use_bias else None)
+
+
+class StochasticDepth(nn.Module):
+    """torchvision ``StochasticDepth(p, "row")``: per-sample residual drop."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        noise = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        return x * noise / keep
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Linear -> GELU -> Dropout -> Linear -> Dropout.
+
+    Torch keys ``mlp.0`` / ``mlp.3`` map to ``fc1`` / ``fc2``.
+    """
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(
+            self.hidden_dim,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = _gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_dim,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA over an NHWC map; owns qkv/proj/bias-table params."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int]
+    shift_size: Tuple[int, int]
+    attention_dropout: float = 0.0
+    dropout: float = 0.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        wh, ww = self.window_size
+        self.qkv = DenseParams(self.dim, 3 * self.dim, use_bias=self.qkv_bias)
+        self.proj = DenseParams(self.dim, self.dim, use_bias=True)
+        self.relative_position_bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init,
+            ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
+            jnp.float32,
+        )
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        qkv_kernel, qkv_bias = self.qkv()
+        proj_kernel, proj_bias = self.proj()
+        need_rng = not deterministic and (
+            self.attention_dropout > 0.0 or self.dropout > 0.0
+        )
+        rng = self.make_rng("dropout") if need_rng else None
+        return shifted_window_attention(
+            x.astype(self.dtype),
+            qkv_kernel,
+            qkv_bias,
+            proj_kernel,
+            proj_bias,
+            self.relative_position_bias_table,
+            window_size=tuple(self.window_size),
+            shift_size=tuple(self.shift_size),
+            num_heads=self.num_heads,
+            attention_dropout=self.attention_dropout,
+            dropout=self.dropout,
+            dropout_rng=rng,
+            deterministic=deterministic,
+        )
+
+
+class SwinBlock(nn.Module):
+    """One Swin transformer block on ``(B, H, W, C)`` (torchvision contract).
+
+    ``x = x + sd(attn(norm1(x)))``; ``x = x + sd(mlp(norm2(x)))``.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift: bool = False
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    stochastic_depth_prob: float = 0.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        w = self.window_size
+        s = w // 2 if self.shift else 0
+        self.norm1 = layer_norm("norm1", self.dtype)
+        self.attn = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=(w, w),
+            shift_size=(s, s),
+            attention_dropout=self.attention_dropout,
+            dropout=self.dropout,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="attn",
+        )
+        self.stochastic_depth = StochasticDepth(self.stochastic_depth_prob)
+        self.norm2 = layer_norm("norm2", self.dtype)
+        self.mlp = Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio),
+            out_dim=self.dim,
+            drop=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        y = self.attn(self.norm1(x), deterministic=deterministic)
+        x = x + self.stochastic_depth(y, deterministic)
+        y = self.mlp(self.norm2(x), deterministic=deterministic)
+        x = x + self.stochastic_depth(y, deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv k=4 s=4 patchify + LayerNorm; ``(B,H,W,3) -> (B,H/4,W/4,E)``.
+
+    Reference: ``model_parts.py:187-225`` (NCHW conv there; NHWC here).
+    """
+
+    patch_size: int = 4
+    embed_dim: int = 128
+    patch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            kernel_init=conv_torch_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        if self.patch_norm:
+            x = layer_norm("norm", self.dtype)(x)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2×2 neighbor concat -> LN(4C) -> Linear(4C,2C,no-bias); halves H,W.
+
+    Reference: ``model_parts.py:59-97`` (norm *before* reduction).
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = patch_ops.merge_2x2(x)
+        x = layer_norm("norm", self.dtype)(x)
+        x = nn.Dense(
+            2 * self.dim,
+            use_bias=False,
+            kernel_init=trunc_normal_init,
+            dtype=self.dtype,
+            name="reduction",
+        )(x)
+        return x
+
+
+class PatchExpand(nn.Module):
+    """Linear(C,2C,no-bias) -> 2×2 depth-to-space -> LN(C/2); doubles H,W.
+
+    Reference: ``model_parts.py:374-407``.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            2 * self.dim,
+            use_bias=False,
+            kernel_init=trunc_normal_init,
+            dtype=self.dtype,
+            name="expand",
+        )(x)
+        x = patch_ops.depth_to_space(x, 2)
+        x = layer_norm("norm", self.dtype)(x)
+        return x
+
+
+class FinalPatchExpandX4V2(nn.Module):
+    """Linear(C,16C) -> GELU -> ×4 depth-to-space -> two 3×3 convs -> LN.
+
+    The checkerboard-smoothing final upsampler
+    (reference ``model_parts.py:437-476``).
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            16 * self.dim,
+            use_bias=False,
+            kernel_init=trunc_normal_init,
+            dtype=self.dtype,
+            name="expand",
+        )(x)
+        x = _gelu(x)
+        x = patch_ops.depth_to_space(x, 4)
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(3, 3),
+            padding="SAME",
+            kernel_init=conv_torch_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="refine1",
+        )(x)
+        x = _gelu(x)
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(3, 3),
+            padding="SAME",
+            kernel_init=conv_torch_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="refine2",
+        )(x)
+        x = layer_norm("norm", self.dtype)(x)
+        return x
+
+
+def _maybe_remat(block_cls, remat: bool):
+    if remat:
+        return nn.remat(block_cls, static_argnums=(2,))
+    return block_cls
+
+
+class BasicLayer(nn.Module):
+    """One encoder stage: ``depth`` Swin blocks + optional PatchMerging.
+
+    Reference: ``model_parts.py:109-173``.  Alternating shift 0 / w//2.
+    """
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    downsample: bool = False
+    use_remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        block_cls = _maybe_remat(SwinBlock, self.use_remat)
+        self.blocks = [
+            block_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift=(i % 2 == 1),
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.drop,
+                attention_dropout=self.attn_drop,
+                stochastic_depth_prob=(
+                    self.drop_path[i] if len(self.drop_path) else 0.0
+                ),
+                qkv_bias=self.qkv_bias,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        if self.downsample:
+            self.downsample_layer = PatchMerging(
+                dim=self.dim, dtype=self.dtype, name="downsample"
+            )
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        for blk in self.blocks:
+            x = blk(x, deterministic)
+        if self.downsample:
+            x = self.downsample_layer(x)
+        return x
+
+
+class BasicLayerUp(nn.Module):
+    """One decoder stage: ``depth`` Swin blocks + optional PatchExpand.
+
+    Reference: ``model_parts.py:478-541``.
+    """
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    upsample: bool = False
+    use_remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        block_cls = _maybe_remat(SwinBlock, self.use_remat)
+        self.blocks = [
+            block_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift=(i % 2 == 1),
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.drop,
+                attention_dropout=self.attn_drop,
+                stochastic_depth_prob=(
+                    self.drop_path[i] if len(self.drop_path) else 0.0
+                ),
+                qkv_bias=self.qkv_bias,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        if self.upsample:
+            self.upsample_layer = PatchExpand(
+                dim=self.dim, dtype=self.dtype, name="upsample"
+            )
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        for blk in self.blocks:
+            x = blk(x, deterministic)
+        if self.upsample:
+            x = self.upsample_layer(x)
+        return x

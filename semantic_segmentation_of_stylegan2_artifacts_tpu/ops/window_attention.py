@@ -1,0 +1,211 @@
+"""Shifted-window attention for TPU (XLA path).
+
+Replicates the numerical contract of torchvision's
+``shifted_window_attention`` as consumed by the reference MS-UNet
+(reference ``network/model_parts.py:36,143-151`` imports
+``torchvision.models.swin_transformer.SwinTransformerBlock``):
+
+* pad H,W up to multiples of the window size with zeros (bottom/right),
+  applied to the *normed* input; padded tokens participate in non-shifted
+  attention (torchvision behavior, reproduced for parity),
+* if the window covers the whole padded grid, the shift is dropped,
+* cyclic shift by ``-shift`` before window partition, ``+shift`` after,
+* fused qkv projection, per-head scaling by ``head_dim**-0.5``,
+* relative position bias gathered from a ``(2w-1)^2 × heads`` table by a
+  static index, added to logits,
+* for shifted blocks an additive 0/-100 mask built from the 9-region
+  partition of the padded grid,
+* softmax (computed in float32), optional attention dropout, output
+  projection, optional projection dropout.
+
+TPU-first design notes: everything here is static-shaped; the mask and the
+relative-position index are plain numpy constants baked into the jaxpr, so
+XLA folds them.  The attention itself is a batched (windows × heads) matmul
+over 49-token windows — MXU-friendly and fully fusable.  A Pallas fused
+kernel with the same signature lives in ``ops/pallas_attention.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Static (trace-time) constants
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static ``(wh*ww, wh*ww)`` gather index into the (2wh-1)(2ww-1) table.
+
+    Same construction as torchvision/Swin: pairwise coordinate deltas,
+    shifted to be non-negative, row-major flattened.
+    """
+    coords_h = np.arange(wh)
+    coords_w = np.arange(ww)
+    coords = np.stack(np.meshgrid(coords_h, coords_w, indexing="ij"))  # 2,wh,ww
+    coords_flat = coords.reshape(2, -1)  # 2, N
+    relative = coords_flat[:, :, None] - coords_flat[:, None, :]  # 2, N, N
+    relative = relative.transpose(1, 2, 0).astype(np.int64)  # N, N, 2
+    relative[:, :, 0] += wh - 1
+    relative[:, :, 1] += ww - 1
+    relative[:, :, 0] *= 2 * ww - 1
+    return relative.sum(-1)  # N, N
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(
+    pad_h: int, pad_w: int, wh: int, ww: int, sh: int, sw: int
+) -> np.ndarray:
+    """Static additive mask ``(num_windows, N, N)`` with 0 / -100 entries.
+
+    Built exactly like torchvision: label the padded grid with 9 region ids
+    from the (window, shift) slicing, partition into windows, mask pairs
+    with different ids.
+    """
+    img = np.zeros((pad_h, pad_w), dtype=np.float32)
+    h_slices = ((0, pad_h - wh), (pad_h - wh, pad_h - sh), (pad_h - sh, pad_h))
+    w_slices = ((0, pad_w - ww), (pad_w - ww, pad_w - sw), (pad_w - sw, pad_w))
+    cnt = 0
+    for h0, h1 in h_slices:
+        for w0, w1 in w_slices:
+            img[h0:h1, w0:w1] = cnt
+            cnt += 1
+    img = img.reshape(pad_h // wh, wh, pad_w // ww, ww)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, wh * ww)  # nW, N
+    mask = img[:, None, :] - img[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Window partition / reverse (NHWC)
+# --------------------------------------------------------------------------
+def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
+    """``(B, H, W, C) -> (B, nW, wh*ww, C)`` with H,W multiples of window."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // wh) * (w // ww), wh * ww, c)
+
+
+def window_reverse(x: jax.Array, h: int, w: int, wh: int, ww: int) -> jax.Array:
+    """``(B, nW, wh*ww, C) -> (B, H, W, C)``."""
+    b, nw, n, c = x.shape
+    x = x.reshape(b, h // wh, w // ww, wh, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+# --------------------------------------------------------------------------
+# The attention op
+# --------------------------------------------------------------------------
+def shifted_window_attention(
+    x: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: Optional[jax.Array],
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array],
+    bias_table: jax.Array,
+    *,
+    window_size: Tuple[int, int],
+    shift_size: Tuple[int, int],
+    num_heads: int,
+    attention_dropout: float = 0.0,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    softmax_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Shifted-window multi-head self attention on an NHWC feature map.
+
+    Args:
+      x: ``(B, H, W, C)`` feature map (already normed by the caller).
+      qkv_kernel: ``(C, 3C)`` fused qkv projection (JAX layout: in × out).
+      qkv_bias: ``(3C,)`` or None.
+      proj_kernel: ``(C, C)``.
+      proj_bias: ``(C,)`` or None.
+      bias_table: ``((2wh-1)(2ww-1), heads)`` relative position bias table.
+      window_size / shift_size: static ints per block.
+      deterministic: disables both dropouts when True.
+
+    Returns ``(B, H, W, C)``.
+    """
+    b, h, w, c = x.shape
+    wh, ww = window_size
+    sh, sw = shift_size
+    head_dim = c // num_heads
+
+    pad_h = -h % wh
+    pad_w = -w % ww
+    hp, wp = h + pad_h, w + pad_w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+    # torchvision: drop the shift if one window spans the padded grid
+    if wh >= hp:
+        sh = 0
+    if ww >= wp:
+        sw = 0
+    shifted = (sh + sw) > 0
+
+    if shifted:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+
+    xw = window_partition(x, wh, ww)  # (B, nW, N, C)
+    n_win = xw.shape[1]
+    n_tok = wh * ww
+
+    qkv = jnp.einsum("bwnc,cd->bwnd", xw, qkv_kernel.astype(xw.dtype))
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(qkv.dtype)
+    qkv = qkv.reshape(b, n_win, n_tok, 3, num_heads, head_dim)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    # -> (B, nW, heads, N, head_dim)
+    q = q.transpose(0, 1, 3, 2, 4) * (head_dim**-0.5)
+    k = k.transpose(0, 1, 3, 2, 4)
+    v = v.transpose(0, 1, 3, 2, 4)
+
+    attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k).astype(softmax_dtype)
+
+    rel_idx = relative_position_index(wh, ww)  # static numpy (N, N)
+    rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n_tok, n_tok, num_heads)
+    rel_bias = rel_bias.transpose(2, 0, 1).astype(softmax_dtype)  # heads,N,N
+    attn = attn + rel_bias[None, None]
+
+    if shifted:
+        mask = jnp.asarray(shifted_window_mask(hp, wp, wh, ww, sh, sw))
+        attn = attn + mask[None, :, None].astype(softmax_dtype)
+
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    if not deterministic and attention_dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for attention dropout")
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        keep = jax.random.bernoulli(sub, 1.0 - attention_dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - attention_dropout), 0.0)
+
+    out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, n_win, n_tok, c)
+    out = jnp.einsum("bwnc,cd->bwnd", out, proj_kernel.astype(out.dtype))
+    if proj_bias is not None:
+        out = out + proj_bias.astype(out.dtype)
+
+    if not deterministic and dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for projection dropout")
+        _, sub = jax.random.split(dropout_rng)
+        keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+
+    out = window_reverse(out, hp, wp, wh, ww)
+
+    if shifted:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    if pad_h or pad_w:
+        out = out[:, :h, :w, :]
+    return out
