@@ -1,0 +1,131 @@
+"""Optimizer construction: AdamW with decay/no-decay split + encoder freeze.
+
+Replicates the reference's parameter grouping (reference
+``trainer.py:129-152``): parameters with ``ndim == 1``, named ``*.bias``
+or containing ``norm`` get weight_decay 0; everything else gets
+``TRAIN.WEIGHT_DECAY``.  The learning rate is injected per-epoch (the
+reference steps a timm scheduler once per epoch), via
+``optax.inject_hyperparams``.
+
+Encoder freezing (reference ``MSUNet.freeze_encoder`` /
+``unfreeze_encoder``, ``model_parts.py:867-893``) maps to an
+``optax.multi_transform`` over {trainable, frozen} labels; frozen leaves
+get ``set_to_zero`` so no state or update is carried.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Set, Tuple
+
+import jax
+import optax
+from flax import traverse_util
+
+
+def decay_mask_fn(params) -> dict:
+    """True => apply weight decay (mirrors trainer.py:137 inverse)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        k: getattr(v, "ndim", 0) > 1 and ("norm" not in "/".join(k).lower())
+        and (k[-1] != "bias")
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+def encoder_path(path: Tuple[str, ...]) -> bool:
+    """Is this param inside the encoder (patch_embed or layers_i)?
+
+    Matches the reference freeze set (``model_parts.py:867-876``):
+    patch_embed + the 4 encoder stages (NOT layers_up/cent decoders).
+    """
+    for part in path:
+        if part == "patch_embed":
+            return True
+        if part.startswith("layers_") and not (
+            part.startswith("layers_up") or part.startswith("layers_cent")
+        ):
+            return True
+    return False
+
+
+def freeze_labels(params, frozen_stages: Set[int], freeze_patch_embed: bool):
+    """'frozen' / 'trainable' label tree for multi_transform.
+
+    ``frozen_stages``: encoder stage indices currently frozen; patch_embed
+    follows stage 0 in the reference's unfreeze order.
+    """
+    flat = traverse_util.flatten_dict(params)
+
+    def label(k):
+        for part in k:
+            if part == "patch_embed" and freeze_patch_embed:
+                return "frozen"
+            if part.startswith("layers_") and not part.startswith(
+                ("layers_up", "layers_cent")
+            ):
+                stage = int(part.split("_")[-1])
+                if stage in frozen_stages:
+                    return "frozen"
+        return "trainable"
+
+    return traverse_util.unflatten_dict({k: label(k) for k in flat})
+
+
+def build_optimizer(
+    config,
+    params,
+    frozen_stages: Optional[Set[int]] = None,
+    freeze_patch_embed: Optional[bool] = None,
+):
+    """AdamW(+freeze) optax chain; lr is a hyperparam injected per epoch."""
+    betas = tuple(config.TRAIN.OPTIMIZER.BETAS)
+
+    adamw = optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+        learning_rate=float(config.TRAIN.BASE_LR),
+        b1=betas[0],
+        b2=betas[1],
+        eps=float(config.TRAIN.OPTIMIZER.EPS),
+        weight_decay=float(config.TRAIN.WEIGHT_DECAY),
+        mask=decay_mask_fn,
+    )
+
+    frozen_stages = frozen_stages or set()
+    if freeze_patch_embed is None:
+        freeze_patch_embed = 0 in frozen_stages
+    if not frozen_stages and not freeze_patch_embed:
+        return adamw
+
+    labels = freeze_labels(params, frozen_stages, freeze_patch_embed)
+    return optax.multi_transform(
+        {"trainable": adamw, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return opt_state with the injected learning_rate replaced.
+
+    Works for both the bare inject_hyperparams state and the
+    multi_transform-wrapped variant.
+    """
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = lr
+        return opt_state
+    if hasattr(opt_state, "inner_states"):
+        inner = opt_state.inner_states["trainable"].inner_state
+        if hasattr(inner, "hyperparams"):
+            inner.hyperparams["learning_rate"] = lr
+        return opt_state
+    raise ValueError("Unrecognized optimizer state structure")
+
+
+def current_learning_rate(opt_state) -> float:
+    if hasattr(opt_state, "hyperparams"):
+        return float(opt_state.hyperparams["learning_rate"])
+    if hasattr(opt_state, "inner_states"):
+        return float(
+            opt_state.inner_states["trainable"].inner_state.hyperparams[
+                "learning_rate"
+            ]
+        )
+    raise ValueError("Unrecognized optimizer state structure")

@@ -1,0 +1,140 @@
+"""Train state + jitted train/eval steps (donated buffers, bf16 policy).
+
+The reference's eager per-batch loop (``trainer.py:295-336``: H2D copy ->
+fp16 autocast forward -> DynamicLoss -> GradScaler backward -> AdamW) maps
+to one jitted, donated ``train_step``: uint8 batches are normalized on
+device, the forward runs under the model's bf16 compute policy (no loss
+scaling needed — bf16 has fp32 range), the loss/grad/update all fuse into
+a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ..losses import dynamic_loss
+from .optim import set_learning_rate
+
+
+class TrainState(train_state.TrainState):
+    """Adds the dropout PRNG base key to flax's TrainState."""
+
+    dropout_rng: jax.Array = None
+
+
+def create_train_state(
+    model,
+    config,
+    rng: jax.Array,
+    sample_input: jax.Array,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    from .optim import build_optimizer
+
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init({"params": params_rng}, sample_input, True)
+    if tx is None:
+        tx = build_optimizer(config, variables["params"])
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        dropout_rng=dropout_rng,
+    )
+
+
+def normalize_images(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 NHWC -> [0,1] float on device (reference normalizes on host,
+    ``dataset.py:61``; moved on-device to shrink H2D traffic 4x)."""
+    return images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+
+
+def make_train_step(
+    model,
+    loss_alpha: float,
+    loss_beta: float,
+    loss_mix: float,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, image_u8, label_u8, lr) -> ...
+
+    lr rides in as a scalar operand (no recompilation per epoch); the
+    dropout key folds in the step counter so every batch draws fresh
+    stochastic-depth/dropout noise deterministically.
+    """
+
+    def step_fn(state: TrainState, image_u8, label_u8, lr):
+        images = normalize_images(image_u8, model.dtype)
+        labels = label_u8.astype(jnp.float32)
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params}, images, False, rngs={"dropout": rng}
+            )
+            return dynamic_loss(
+                logits, labels, loss_alpha, loss_beta, loss_mix
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, new_opt_state = state.tx.update(
+            grads, opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, loss
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model, loss_alpha: float, loss_beta: float, loss_mix: float
+) -> Callable:
+    """Jitted eval: (params, image_u8, label_u8) -> (probs fp32, loss).
+
+    probs: (B, H, W) sigmoid over the single logit channel.
+    """
+
+    def step_fn(params, image_u8, label_u8):
+        images = normalize_images(image_u8, model.dtype)
+        labels = label_u8.astype(jnp.float32)
+        logits = model.apply({"params": params}, images, True)
+        loss = dynamic_loss(logits, labels, loss_alpha, loss_beta, loss_mix)
+        probs = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        return probs, loss
+
+    return jax.jit(step_fn)
+
+
+def make_predict_step(model) -> Callable:
+    """Jitted label-free inference: (params, image_u8) -> probs fp32."""
+
+    def step_fn(params, image_u8):
+        images = normalize_images(image_u8, model.dtype)
+        logits = model.apply({"params": params}, images, True)
+        return jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+
+    return jax.jit(step_fn)
+
+
+# Back-compat simple entry points used by tests
+def train_step(state, batch, lr, model, alpha=0.4, beta=0.6, mix=0.5):
+    return make_train_step(model, alpha, beta, mix, donate=False)(
+        state, batch["image"], batch["label"], lr
+    )
+
+
+def eval_step(params, batch, model, alpha=0.4, beta=0.6, mix=0.5):
+    return make_eval_step(model, alpha, beta, mix)(
+        params, batch["image"], batch["label"]
+    )

@@ -1,0 +1,265 @@
+"""The training loop: epochs, validation, model selection, checkpoints.
+
+TPU-native equivalent of the reference trainer (reference
+``trainer.py:33-426``): per-epoch mixed-set construction with the dynamic
+real-ratio schedule, the fake/real pattern sampler, a single jitted
+train step (bf16, donated state), per-epoch validation through the metric
+kernels, Score-based best-checkpoint selection with atomic writes, early
+stopping with staged encoder-unfreeze escalation, CSV + TensorBoard +
+file logging, and the final prediction dump.
+
+Differences by design (TPU-first):
+* fp16 AMP + GradScaler -> bf16 compute policy (no scaler needed),
+* host DataLoader workers -> threaded prefetch of uint8 batches,
+* the encoder-unfreeze scaffolding (commented out in the reference,
+  ``trainer.py:252-288``) is implemented functionally here: frozen stages
+  get zero updates via optax.multi_transform, and unfreezing rebuilds the
+  optimizer with fresh moments for the newly trainable stage (the
+  reference's ``add_param_group`` behavior).
+"""
+
+from __future__ import annotations
+
+import logging as _logging
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import SegArtifactDataset
+from ..data.pipeline import EvalLoader, TrainLoader
+from ..metrics.csv_logger import CSVHandler
+from ..metrics.segmentation import (
+    MetricsAggregator,
+    compute_case_metrics_jit,
+    to_case_metrics,
+)
+from ..viz.maps import create_bin_heat_mask_from_list
+from .checkpoint import save_best, save_last
+from .optim import build_optimizer
+from .schedule import CosineWarmupSchedule
+from .state import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+def validate(
+    eval_step: Callable,
+    params,
+    valloader: EvalLoader,
+    epoch: int,
+    sig_threshold: float,
+    output_num: int = 10,
+    mean_train_loss: float = float("nan"),
+    logger=None,
+    csv_handler: Optional[CSVHandler] = None,
+    device_batches=None,
+):
+    """Run the metric pass over a batch-1 loader (reference
+    ``validation_functions.py:37-211``).
+
+    Returns ``(mean_soft_dice, output_saver, Score, mean_FPR, summary)``.
+    """
+    agg = MetricsAggregator()
+    output_saver: List[Tuple[str, np.ndarray]] = []
+    for i_batch, batch in enumerate(valloader):
+        probs, loss = eval_step(params, batch["image"], batch["label"])
+        case_name = batch["case_name"][0]
+        m = compute_case_metrics_jit(
+            probs[0], jnp.asarray(batch["label"][0]), sig_threshold
+        )
+        agg.add(to_case_metrics(case_name, m, float(loss)))
+        if i_batch < output_num:
+            output_saver.append((case_name, np.asarray(probs[0])))
+    summary = agg.summarize(epoch, mean_train_loss)
+    if csv_handler is not None:
+        csv_handler.write_epoch(summary)
+    if logger is not None:
+        logger.info(
+            f"epoch {epoch}: mean_soft_dice {summary.mean_soft_dice:.5f} "
+            f"mean_FPR {summary.mean_fpr:.5f} Score {summary.score:.5f} "
+            f"mean_val_loss {summary.mean_val_loss:.5f}"
+        )
+    return (summary.mean_soft_dice, output_saver, summary.score,
+            summary.mean_fpr, summary)
+
+
+def trainer(
+    model,
+    logger,
+    writer,
+    log_save_path: str = "",
+    config=None,
+    base_lr: Optional[float] = None,
+    state: Optional[TrainState] = None,
+) -> str:
+    """Train a model per the config; returns "Training Finished!"."""
+    if config is None:
+        raise ValueError("Config file is not found!")
+    if logger is None:
+        logger = _logging.getLogger("trainer")
+
+    warmup_epochs = config.TRAIN.WARMUP_EPOCHS
+    max_epoch = config.TRAIN.MAX_EPOCHS
+    freeze_encoder = bool(config.MODEL.FREEZE_ENCODER)
+    img_size = config.DATA.IMG_SIZE
+    base_lr = base_lr if base_lr is not None else config.TRAIN.BASE_LR
+
+    os.makedirs(log_save_path, exist_ok=True)
+    pred_dir = os.path.join(log_save_path, "final_preds")
+    os.makedirs(pred_dir, exist_ok=True)
+    csv_handler = CSVHandler(log_save_path)
+
+    # ---- data ------------------------------------------------------------
+    db_fake = SegArtifactDataset(config.DATA.DATA_PATH, config.LIST_DIR,
+                                 "fake_train")
+    db_real = SegArtifactDataset(config.DATA.DATA_PATH, config.LIST_DIR,
+                                 "real_train_all")
+    db_val = SegArtifactDataset(config.DATA.DATA_PATH, config.LIST_DIR, "val")
+    train_loader = TrainLoader(
+        db_fake, db_real, img_size=img_size, seed=int(config.SEED),
+        dynamic_loader=bool(config.DYNAMIC_LOADER),
+        num_workers=int(config.DATA.NUM_WORKERS),
+        prefetch_depth=int(config.TPU.PREFETCH_DEPTH),
+    )
+    valloader = EvalLoader(db_val, img_size=img_size)
+
+    # ---- model/optimizer state ------------------------------------------
+    alpha = float(config.TRAIN.TVERSKY_LOSS_ALPHA)
+    beta = float(config.TRAIN.TVERSKY_LOSS_BETA)
+    mix = float(config.TRAIN.LOSS_TVERSKY_BCE_MIX)
+
+    frozen_stages = set(range(4)) if freeze_encoder else set()
+    if state is None:
+        rng = jax.random.PRNGKey(int(config.SEED))
+        sample = jnp.zeros((2, img_size, img_size, 3), model.dtype)
+        state = create_train_state(model, config, rng, sample)
+        if freeze_encoder:
+            tx = build_optimizer(config, state.params, frozen_stages, True)
+            state = state.replace(
+                tx=tx, opt_state=tx.init(state.params)
+            )
+    train_step = make_train_step(model, alpha, beta, mix)
+    eval_step = make_eval_step(model, alpha, beta, mix)
+
+    schedule = CosineWarmupSchedule.from_config(config, base_lr)
+
+    # ---- unfreeze schedule (reference trainer.py:171-175) ---------------
+    stage_unfreeze_epoch = {
+        3: int(max_epoch * config.MODEL.STAGE3_UNFREEZE_PERIODE),
+        2: int(max_epoch * config.MODEL.STAGE2_UNFREEZE_PERIODE),
+        1: int(max_epoch * config.MODEL.STAGE1_UNFREEZE_PERIODE),
+        0: int(max_epoch * config.MODEL.STAGE0_UNFREEZE_PERIODE),
+    }
+
+    def maybe_unfreeze(state, epoch_num, force_next: bool):
+        """Staged unfreeze deepest-first; returns (state, acted)."""
+        nonlocal frozen_stages
+        if not freeze_encoder or not frozen_stages:
+            return state, False
+        for stage in (3, 2, 1, 0):
+            if stage in frozen_stages and (
+                epoch_num >= stage_unfreeze_epoch[stage] or force_next
+            ):
+                frozen_stages = frozen_stages - {stage}
+                tx = build_optimizer(config, state.params, frozen_stages,
+                                     0 in frozen_stages)
+                state = state.replace(tx=tx, opt_state=tx.init(state.params))
+                logger.info(f"Unfroze encoder stage {stage} at epoch {epoch_num}")
+                return state, True
+        return state, False
+
+    # ---- loop ------------------------------------------------------------
+    # reference starts at -1.0 (trainer.py:178) which silently skips saving
+    # when Score < -1 (high-FPR early epochs); -inf always keeps the best.
+    best_score = float("-inf")
+    since_best = 0
+    iter_num = 0
+    last_run = False
+    save_best_output: List[Tuple[str, np.ndarray]] = []
+    unfreeze_in_next_epoch = False
+    mean_dice = float("nan")
+    train_loss_list: List[float] = []
+
+    for epoch_num in range(max_epoch):
+        state, _ = maybe_unfreeze(state, epoch_num, unfreeze_in_next_epoch)
+        unfreeze_in_next_epoch = False
+
+        lr = schedule.lr_at_epoch(epoch_num)
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        t0 = time.time()
+        n_batches = 0
+        for batch in train_loader.epoch_batches(epoch_num):
+            state, loss = train_step(
+                state, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["label"]), lr_arr
+            )
+            loss_f = float(loss)
+            train_loss_list.append(loss_f)
+            iter_num += 1
+            n_batches += 1
+            if writer is not None:
+                writer.add_scalar("info/total_loss", loss_f, iter_num)
+        epoch_time = time.time() - t0
+        mean_train_loss = (sum(train_loss_list) / len(train_loss_list)
+                           if train_loss_list else float("nan"))
+        logger.info(
+            f"Epoch {epoch_num + 1}: {n_batches} batches, lr={lr:.3e}, "
+            f"mean_train_loss={mean_train_loss:.5f}, {epoch_time:.1f}s"
+        )
+
+        # -------- validation --------
+        mean_dice, output_dict, score, fpr, _ = validate(
+            eval_step, state.params, valloader, epoch_num + 1,
+            sig_threshold=float(config.TRAIN.SIG_THRESHOLD),
+            output_num=int(config.SHOW_PREDICTIONS),
+            mean_train_loss=mean_train_loss,
+            logger=logger, csv_handler=csv_handler,
+        )
+
+        # -------- model selection (Score) --------
+        if score > best_score:
+            save_best_output = output_dict
+            best_score = score
+            since_best = 0
+            if config.SAVE_BEST_RUN:
+                path = save_best(log_save_path, state.params, epoch_num + 1,
+                                 best_score)
+                logger.info(
+                    f"Saved new BEST weights to {path} (Score={best_score:.5f})"
+                )
+        else:
+            since_best += 1
+            if (since_best >= config.TRAIN.EARLY_STOPPING_PATIENCE
+                    and config.TRAIN.EARLY_STOPPING_FLAG):
+                if not frozen_stages or not freeze_encoder:
+                    logger.info(
+                        f"Early stopping at epoch {epoch_num} (no val "
+                        f"improvement for "
+                        f"{config.TRAIN.EARLY_STOPPING_PATIENCE} epochs)."
+                    )
+                    last_run = True
+                else:
+                    unfreeze_in_next_epoch = True
+                    since_best = 0
+
+        if epoch_num >= max_epoch - 1:
+            last_run = True
+            if config.SAVE_LAST_RUN:
+                save_last(log_save_path, epoch_num, state.params,
+                          state.opt_state, iter_num, mean_dice)
+
+        if last_run:
+            if save_best_output:
+                create_bin_heat_mask_from_list(
+                    save_best_output, pred_dir, config.DATA.DATA_PATH,
+                    threshold=float(config.TRAIN.SIG_THRESHOLD),
+                )
+            break
+
+    csv_handler.close_files()
+    if writer is not None:
+        writer.close()
+    logger.info("Training finished")
+    return "Training Finished!"
