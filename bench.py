@@ -1,0 +1,125 @@
+"""Benchmark: MS-UNet (Swin-B) train-step throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Headline workload (BASELINE.md): 512x512 training images/sec/chip on the
+full 52-block Swin-B MS-UNet, batch from --batch (default 8; the reference
+trains at batch 2 on GPU — on TPU larger batches amortize host overheads
+and fill the MXU; images/sec is comparable either way), bf16 compute,
+full train step (forward + DynamicLoss + backward + AdamW update) with
+donated buffers and on-device synthetic uint8 data (isolates the compute
+path, as the reference's GPU-side hot loop does after H2D).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+denominator is a documented engineering estimate of the PyTorch fp16
+reference on one A100 at 512^2 (REFERENCE_GPU_IPS below). The driver's
+target is >=5x.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated PyTorch-reference throughput (images/sec) at 512x512 fwd+bwd,
+# fp16 AMP, single A100-class GPU, for this 52-block Swin-B MS-UNet.
+# The reference repo publishes no measurements (BASELINE.md); this anchor
+# makes vs_baseline = measured / REFERENCE_GPU_IPS, target >= 5.
+REFERENCE_GPU_IPS = 25.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="small model/size for smoke runs")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable full rematerialisation")
+    args = ap.parse_args()
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        default_config,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train import (
+        create_train_state,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.state import (
+        make_train_step,
+    )
+
+    if args.quick:
+        model = MSUNet(img_size=128, embed_dim=32, depths=(2, 2, 2, 2),
+                       num_heads=(2, 2, 4, 4), window_size=7,
+                       dtype=jnp.bfloat16)
+        img_size = 128
+        batch = 2
+        steps, warmup = 5, 2
+    else:
+        model = MSUNet(img_size=args.img, embed_dim=128,
+                       depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                       window_size=7, dtype=jnp.bfloat16,
+                       use_remat=args.remat)
+        img_size = args.img
+        batch = args.batch
+        steps, warmup = args.steps, args.warmup
+
+    config = default_config()
+    config.defrost()
+    config.DATA.IMG_SIZE = img_size
+    config.MODEL.FREEZE_ENCODER = False
+    config.freeze()
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0),
+        jnp.zeros((1, img_size, img_size, 3), jnp.bfloat16),
+    )
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(
+        rng.randint(0, 255, (batch, img_size, img_size, 3), np.uint8)
+    )
+    label = jnp.asarray(
+        (rng.rand(batch, img_size, img_size) > 0.8).astype(np.uint8)
+    )
+    lr = jnp.asarray(1e-4, jnp.float32)
+
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=True)
+
+    t0 = time.time()
+    for _ in range(warmup):
+        state, loss = step(state, image, label, lr)
+    float(loss)  # hard host sync: block_until_ready is unreliable on the
+    # remote-relay backend (returns before the chain drains)
+    print(f"compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = step(state, image, label, lr)
+    final_loss = float(loss)
+    dt = time.time() - t0
+    print(f"final loss: {final_loss:.5f}", file=sys.stderr)
+
+    ips = batch * steps / dt
+    result = {
+        "metric": f"msunet_swin_b_{img_size}sq_train_throughput",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REFERENCE_GPU_IPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    replicate_state,
+    shard_batch,
+    batch_sharding,
+    replicated_sharding,
+)

@@ -39,7 +39,10 @@ def create_train_state(
     from .optim import build_optimizer
 
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init({"params": params_rng}, sample_input, True)
+    # jit the init: eager init dispatches thousands of tiny ops (crippling
+    # over a remote-TPU tunnel); compiled it is one program.
+    init_fn = jax.jit(lambda r, x: model.init({"params": r}, x, True))
+    variables = init_fn(params_rng, sample_input)
     if tx is None:
         tx = build_optimizer(config, variables["params"])
     return TrainState.create(
