@@ -203,7 +203,8 @@ class MetricsAggregator:
                 rows = [[c.soft_tp, c.soft_fp, c.soft_fn, c.soft_tn] for c in cs]
             else:
                 rows = [[c.tp, c.fp, c.fn, c.tn] for c in cs]
-            return list(np.mean(np.array(rows, dtype=float), axis=0))
+            return [float(x) for x in np.mean(np.array(rows, dtype=float),
+                                              axis=0)]
 
         mean_fpr = mean([c.fpr for c in real])
         mean_soft_dice = mean([c.soft_dice for c in fake])

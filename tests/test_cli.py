@@ -1,0 +1,98 @@
+"""End-to-end CLI tests: train.py then test.py over a synthetic dataset,
+driven through the real command-line surface (subprocess)."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from semantic_segmentation_of_stylegan2_artifacts_tpu.data.synthetic import (
+    generate_synthetic_dataset,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_cfg(root, out_dir):
+    return {
+        "BASE": [],
+        "DATA": {"BATCH_SIZE": 2, "DATA_PATH": root, "IMG_SIZE": 64,
+                 "NUM_WORKERS": 2},
+        "MODEL": {
+            "PRETRAIN_WEIGHTS": "none",
+            "FREEZE_ENCODER": False,
+            "ATTN_DROP_RATE": 0.0,
+            "SWIN": {"EMBED_DIM": 16, "DEPTHS": [1, 1, 1, 1],
+                     "NUM_HEADS": [2, 2, 2, 2], "WINDOW_SIZE": 4},
+        },
+        "TRAIN": {"MAX_EPOCHS": 1, "WARMUP_EPOCHS": 0, "BASE_LR": 1e-4},
+        "TPU": {"COMPUTE_DTYPE": "float32"},
+        "OUTPUT_DIR": out_dir,
+        "LIST_DIR": os.path.join(root, "lists"),
+        "SEED": 11,
+        "SHOW_PREDICTIONS": 2,
+        "SAVE_BEST_RUN": True,
+    }
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    root = str(base / "data")
+    generate_synthetic_dataset(root, img_size=64)
+    out_dir = str(base / "run_out")
+    cfg_path = str(base / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(_tiny_cfg(root, out_dir), f)
+    env = dict(os.environ, SSA_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", cfg_path],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return base, root, out_dir, cfg_path, env, proc
+
+
+def test_train_cli_outputs(trained_run):
+    _, root, out_dir, _, _, proc = trained_run
+    # hyperparameter echo on stdout (reference train.py:43-58)
+    assert "tversky alpha" in proc.stdout
+    # run dir artifacts
+    assert os.path.exists(os.path.join(out_dir, "config_used.yaml"))
+    assert os.path.exists(os.path.join(out_dir, "log.txt"))
+    assert os.path.exists(os.path.join(out_dir, "best_model.msgpack"))
+    with open(os.path.join(out_dir, "val_metric_all_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 2 and rows[0][-1] == "Score"
+    log = open(os.path.join(out_dir, "log.txt")).read()
+    assert "mean_soft_dice" in log
+    preds = os.listdir(os.path.join(out_dir, "final_preds"))
+    assert any(p.endswith("_grey_heats.png") for p in preds)
+
+
+def test_test_cli_evaluates_checkpoint(trained_run):
+    base, root, out_dir, cfg_path, env, _ = trained_run
+    eval_dir = str(base / "eval_out")
+    proc = subprocess.run(
+        [sys.executable, "test.py", "--cfg", cfg_path,
+         "--check_point_dir", out_dir, "--out_dir", eval_dir],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "mean_soft_dice" in proc.stdout
+    assert os.path.exists(os.path.join(eval_dir, "log.txt"))
+    preds = os.listdir(os.path.join(eval_dir, "predictions"))
+    # 3 test cases x 4 exports
+    assert len([p for p in preds if p.endswith(".png")]) == 12
+
+
+def test_train_cli_rejects_missing_cfg():
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", "/nonexistent.yaml"],
+        cwd=REPO, env=dict(os.environ, SSA_TPU_PLATFORM="cpu"),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
