@@ -126,6 +126,7 @@ class WindowAttention(nn.Module):
     attention_dropout: float = 0.0
     dropout: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -146,6 +147,21 @@ class WindowAttention(nn.Module):
             self.attention_dropout > 0.0 or self.dropout > 0.0
         )
         rng = self.make_rng("dropout") if need_rng else None
+        if self.use_pallas and rng is None:
+            # fused TPU kernel (no dropout path); XLA op otherwise
+            from ..ops.pallas_attention import pallas_shifted_window_attention
+
+            return pallas_shifted_window_attention(
+                x.astype(self.dtype),
+                qkv_kernel,
+                qkv_bias,
+                proj_kernel,
+                proj_bias,
+                self.relative_position_bias_table,
+                window_size=tuple(self.window_size),
+                shift_size=tuple(self.shift_size),
+                num_heads=self.num_heads,
+            )
         return shifted_window_attention(
             x.astype(self.dtype),
             qkv_kernel,
@@ -178,6 +194,7 @@ class SwinBlock(nn.Module):
     attention_dropout: float = 0.0
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -192,6 +209,7 @@ class SwinBlock(nn.Module):
             attention_dropout=self.attention_dropout,
             dropout=self.dropout,
             qkv_bias=self.qkv_bias,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )
@@ -355,6 +373,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = ()
     downsample: bool = False
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -372,6 +391,7 @@ class BasicLayer(nn.Module):
                     self.drop_path[i] if len(self.drop_path) else 0.0
                 ),
                 qkv_bias=self.qkv_bias,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -407,6 +427,7 @@ class BasicLayerUp(nn.Module):
     drop_path: Sequence[float] = ()
     upsample: bool = False
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -424,6 +445,7 @@ class BasicLayerUp(nn.Module):
                     self.drop_path[i] if len(self.drop_path) else 0.0
                 ),
                 qkv_bias=self.qkv_bias,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -72,6 +72,7 @@ class MSUNetSys(nn.Module):
     drop_path_rate: float = 0.1
     patch_norm: bool = True
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -85,6 +86,7 @@ class MSUNetSys(nn.Module):
             drop=self.drop_rate,
             attn_drop=self.attn_drop_rate,
             use_remat=self.use_remat,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 
@@ -287,6 +289,7 @@ class MSUNet(nn.Module):
     drop_path_rate: float = 0.1
     patch_norm: bool = True
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -319,6 +322,7 @@ class MSUNet(nn.Module):
             drop_path_rate=float(config.MODEL.DROP_PATH_RATE),
             patch_norm=bool(swin.PATCH_NORM),
             use_remat=remat,
+            use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
             dtype=compute_dtype,
         )
 
@@ -339,6 +343,7 @@ class MSUNet(nn.Module):
             drop_path_rate=self.drop_path_rate,
             patch_norm=self.patch_norm,
             use_remat=self.use_remat,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="msunet",
         )
