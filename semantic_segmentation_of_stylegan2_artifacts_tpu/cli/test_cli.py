@@ -27,6 +27,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="dir or file holding the best checkpoint")
     parser.add_argument("--out_dir", type=str, required=True)
     parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--tile", type=int, default=0,
+                        help="evaluate full-size images through a model of "
+                             "this native size via sliding-window inference")
+    parser.add_argument("--tile_overlap", type=float, default=0.5)
     return parser
 
 
@@ -76,11 +80,12 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..train.state import create_train_state
 
-    model = MSUNet.from_config(config)
     img_size = config.DATA.IMG_SIZE
+    model_size = args.tile if args.tile else img_size
+    model = MSUNet.from_config(config, img_size=model_size)
     state = create_train_state(
         model, config, jax.random.PRNGKey(seed),
-        jnp.zeros((1, img_size, img_size, 3), model.dtype),
+        jnp.zeros((1, model_size, model_size, 3), model.dtype),
     )
 
     ckpt = _resolve_checkpoint(args.check_point_dir)
@@ -112,12 +117,40 @@ def main(argv=None):
     eval_step = make_eval_step(model, alpha, beta, mix)
 
     csv_handler = CSVHandler(args.out_dir)
-    mean_dice, output_saver, score, fpr, summary = validate(
-        eval_step, params, loader, epoch=0,
-        sig_threshold=float(config.TEST.SIG_THRESHOLD),
-        output_num=len(loader),
-        logger=logging, csv_handler=csv_handler,
-    )
+    if args.tile:
+        # sliding-window evaluation at full resolution
+        from ..metrics.segmentation import (
+            MetricsAggregator, compute_case_metrics_jit, to_case_metrics,
+        )
+        from ..train.inference import tiled_predict
+        from ..train.state import make_predict_step
+
+        predict_step = make_predict_step(model)
+        agg = MetricsAggregator()
+        output_saver = []
+        for batch in loader:
+            probs = tiled_predict(
+                predict_step, params, batch["image"][0],
+                tile=args.tile, overlap=args.tile_overlap,
+            )
+            case_name = batch["case_name"][0]
+            m = compute_case_metrics_jit(
+                jnp.asarray(probs), jnp.asarray(batch["label"][0]),
+                float(config.TEST.SIG_THRESHOLD),
+            )
+            agg.add(to_case_metrics(case_name, m, float("nan")))
+            output_saver.append((case_name, probs))
+        summary = agg.summarize(epoch=0)
+        csv_handler.write_epoch(summary)
+        mean_dice, score, fpr = (summary.mean_soft_dice, summary.score,
+                                 summary.mean_fpr)
+    else:
+        mean_dice, output_saver, score, fpr, summary = validate(
+            eval_step, params, loader, epoch=0,
+            sig_threshold=float(config.TEST.SIG_THRESHOLD),
+            output_num=len(loader),
+            logger=logging, csv_handler=csv_handler,
+        )
     csv_handler.close_files()
 
     pred_dir = os.path.join(args.out_dir, "predictions")

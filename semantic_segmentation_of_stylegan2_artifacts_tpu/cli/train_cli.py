@@ -25,6 +25,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, required=True, metavar="FILE",
                         help="path to config file")
+    parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                        help="resume from an epoch_N.msgpack checkpoint "
+                             "(params + optimizer + epoch)")
     return parser
 
 
@@ -131,7 +134,7 @@ def main(argv=None) -> str:
     trainer_dic = {"SegArtifact": trainer}
     trainer_dic["SegArtifact"](
         model, logging, writer, output_dir, config,
-        config.TRAIN.BASE_LR, state=state,
+        config.TRAIN.BASE_LR, state=state, resume_from=args.resume,
     )
     return timestamp_str
 

@@ -90,10 +90,32 @@ class TrainLoader:
             transform=True, seed=seed,
         )
 
-    def num_batches(self, epoch: int) -> int:
+    def num_batches(self, epoch: int, merge: int = 1) -> int:
         ratio = real_ratio_schedule(epoch, self.dynamic_loader)
         n_real = num_real_for_ratio(len(self.fake_ds), len(self.real_ds), ratio)
-        return (len(self.fake_ds) + n_real) // self.batch_size
+        return (len(self.fake_ds) + n_real) // self.batch_size // merge
+
+    def epoch_batches_merged(self, epoch: int, merge: int) -> Iterator[Dict]:
+        """Concatenate ``merge`` sampler batches into one global batch.
+
+        Data-parallel training wants a global batch of ``2 * n_devices``
+        while keeping the pattern sampler's >=1-fake-per-pair guarantee
+        (each device's pair still satisfies it).  Trailing batches that
+        don't fill a full global batch are dropped (static shapes).
+        """
+        if merge <= 1:
+            yield from self.epoch_batches(epoch)
+            return
+        buf: List[Dict] = []
+        for b in self.epoch_batches(epoch):
+            buf.append(b)
+            if len(buf) == merge:
+                yield {
+                    "image": np.concatenate([x["image"] for x in buf]),
+                    "label": np.concatenate([x["label"] for x in buf]),
+                    "case_name": sum((x["case_name"] for x in buf), []),
+                }
+                buf = []
 
     def epoch_batches(self, epoch: int) -> Iterator[Dict]:
         """Yield batches ``{'image': (B,H,W,3) u8, 'label': (B,H,W) u8}``."""

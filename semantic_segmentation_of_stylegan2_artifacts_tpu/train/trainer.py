@@ -93,6 +93,7 @@ def trainer(
     config=None,
     base_lr: Optional[float] = None,
     state: Optional[TrainState] = None,
+    resume_from: Optional[str] = None,
 ) -> str:
     """Train a model per the config; returns "Training Finished!"."""
     if config is None:
@@ -105,6 +106,15 @@ def trainer(
     freeze_encoder = bool(config.MODEL.FREEZE_ENCODER)
     img_size = config.DATA.IMG_SIZE
     base_lr = base_lr if base_lr is not None else config.TRAIN.BASE_LR
+
+    # data parallelism: the reference's N_GPU knob scales the global batch
+    # (trainer.py:49-50); here it sizes the mesh's data axis.
+    n_dp = max(1, int(config.HARDWARE.N_GPU))
+    mesh = None
+    if n_dp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=n_dp)
 
     os.makedirs(log_save_path, exist_ok=True)
     pred_dir = os.path.join(log_save_path, "final_preds")
@@ -140,6 +150,25 @@ def trainer(
             state = state.replace(
                 tx=tx, opt_state=tx.init(state.params)
             )
+    start_epoch = int(config.TRAIN.START_EPOCH)
+    if resume_from:
+        from .checkpoint import restore_checkpoint
+
+        payload = restore_checkpoint(
+            resume_from,
+            target={"epoch": 0, "model": state.params,
+                    "optimizer": state.opt_state, "iter_num": 0,
+                    "dice": 0.0},
+        )
+        state = state.replace(params=payload["model"],
+                              opt_state=payload["optimizer"])
+        start_epoch = int(payload["epoch"]) + 1
+        logger.info(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+    if mesh is not None:
+        from ..parallel import replicate_state
+
+        state = replicate_state(state, mesh)
     train_step = make_train_step(model, alpha, beta, mix)
     eval_step = make_eval_step(model, alpha, beta, mix)
 
@@ -182,7 +211,10 @@ def trainer(
     mean_dice = float("nan")
     train_loss_list: List[float] = []
 
-    for epoch_num in range(max_epoch):
+    if mesh is not None:
+        from ..parallel import shard_batch as _shard_batch
+
+    for epoch_num in range(start_epoch, max_epoch):
         state, _ = maybe_unfreeze(state, epoch_num, unfreeze_in_next_epoch)
         unfreeze_in_next_epoch = False
 
@@ -190,11 +222,16 @@ def trainer(
         lr_arr = jnp.asarray(lr, jnp.float32)
         t0 = time.time()
         n_batches = 0
-        for batch in train_loader.epoch_batches(epoch_num):
-            state, loss = train_step(
-                state, jnp.asarray(batch["image"]),
-                jnp.asarray(batch["label"]), lr_arr
-            )
+        for batch in train_loader.epoch_batches_merged(epoch_num, n_dp):
+            if mesh is not None:
+                placed = _shard_batch(
+                    {"image": batch["image"], "label": batch["label"]}, mesh
+                )
+                image_dev, label_dev = placed["image"], placed["label"]
+            else:
+                image_dev = jnp.asarray(batch["image"])
+                label_dev = jnp.asarray(batch["label"])
+            state, loss = train_step(state, image_dev, label_dev, lr_arr)
             loss_f = float(loss)
             train_loss_list.append(loss_f)
             iter_num += 1

@@ -1,0 +1,163 @@
+"""Trainer DP mode, resume, merged batches, tiled test CLI."""
+
+import csv
+import logging
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+    default_config,
+)
+from semantic_segmentation_of_stylegan2_artifacts_tpu.data.synthetic import (
+    generate_synthetic_dataset,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("trainer_synth"))
+    generate_synthetic_dataset(root, img_size=32, n_fake_train=8,
+                               n_real_train=6)
+    return root
+
+
+def _base_config(root, out_dir):
+    c = default_config()
+    c.defrost()
+    c.DATA.DATA_PATH = root
+    c.DATA.IMG_SIZE = 32
+    c.LIST_DIR = os.path.join(root, "lists")
+    c.TRAIN.MAX_EPOCHS = 2
+    c.TRAIN.WARMUP_EPOCHS = 1
+    c.TRAIN.BASE_LR = 1e-4
+    c.MODEL.FREEZE_ENCODER = False
+    c.SAVE_BEST_RUN = True
+    c.SHOW_PREDICTIONS = 1
+    c.DATA.NUM_WORKERS = 2
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.OUTPUT_DIR = out_dir
+    return c
+
+
+def _tiny_model():
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+
+    return MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
+                  num_heads=(2, 2, 2, 2), window_size=4)
+
+
+def test_merged_batches(synth_root):
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.dataset import (
+        SegArtifactDataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.pipeline import (
+        TrainLoader,
+    )
+
+    lists = os.path.join(synth_root, "lists")
+    loader = TrainLoader(SegArtifactDataset(synth_root, lists, "fake_train"),
+                         SegArtifactDataset(synth_root, lists,
+                                            "real_train_all"),
+                         img_size=32, num_workers=2)
+    merged = list(loader.epoch_batches_merged(0, 2))
+    assert len(merged) == loader.num_batches(0, merge=2)
+    for b in merged:
+        assert b["image"].shape[0] == 4
+        # each device pair keeps >=1 fake
+        assert any(n.startswith("09") for n in b["case_name"][:2])
+        assert any(n.startswith("09") for n in b["case_name"][2:])
+
+
+def test_trainer_data_parallel(synth_root, tmp_path):
+    """N_GPU=4 -> 4-way DP over the virtual CPU mesh, end to end."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    out_dir = str(tmp_path / "dp_out")
+    c = _base_config(synth_root, out_dir)
+    c.HARDWARE.N_GPU = 4
+    c.freeze()
+    result = trainer(_tiny_model(), logging.getLogger("dp"), None, out_dir, c)
+    assert result == "Training Finished!"
+    with open(os.path.join(out_dir, "val_metric_all_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 3  # header + 2 epochs
+
+
+def test_trainer_resume(synth_root, tmp_path):
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    out1 = str(tmp_path / "phase1")
+    c = _base_config(synth_root, out1)
+    c.TRAIN.MAX_EPOCHS = 1
+    c.SAVE_LAST_RUN = True
+    c.freeze()
+    trainer(_tiny_model(), logging.getLogger("r1"), None, out1, c)
+    ckpt = os.path.join(out1, "epoch_0.msgpack")
+    assert os.path.exists(ckpt)
+
+    out2 = str(tmp_path / "phase2")
+    c2 = _base_config(synth_root, out2)
+    c2.TRAIN.MAX_EPOCHS = 3
+    c2.freeze()
+    trainer(_tiny_model(), logging.getLogger("r2"), None, out2, c2,
+            resume_from=ckpt)
+    with open(os.path.join(out2, "val_metric_all_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    # resumed at epoch 1 -> epochs 2..3 validated (2 rows)
+    assert len(rows) == 3
+    assert rows[1][0] == "2"
+
+
+def test_tiled_eval_cli(tmp_path):
+    """test.py --tile evaluates 64px images through a 32px-native model."""
+    root = str(tmp_path / "data64")
+    generate_synthetic_dataset(root, img_size=64)
+    out_dir = str(tmp_path / "train_out")
+    cfg = {
+        "DATA": {"DATA_PATH": root, "IMG_SIZE": 64, "NUM_WORKERS": 2},
+        "MODEL": {"PRETRAIN_WEIGHTS": "none", "FREEZE_ENCODER": False,
+                  "SWIN": {"EMBED_DIM": 16, "DEPTHS": [1, 1, 1, 1],
+                           "NUM_HEADS": [2, 2, 2, 2], "WINDOW_SIZE": 4}},
+        "TRAIN": {"MAX_EPOCHS": 1, "WARMUP_EPOCHS": 0, "BASE_LR": 1e-4},
+        "TPU": {"COMPUTE_DTYPE": "float32"},
+        "OUTPUT_DIR": out_dir,
+        "LIST_DIR": os.path.join(root, "lists"),
+        "SEED": 3,
+        "SAVE_BEST_RUN": True,
+        "SHOW_PREDICTIONS": 1,
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    env = dict(os.environ, SSA_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", cfg_path],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    # NOTE: checkpoint was trained at 64 native; tiled eval rebuilds the
+    # model at tile=32 — params are size-agnostic (windowed attention).
+    eval_dir = str(tmp_path / "tiled_eval")
+    proc = subprocess.run(
+        [sys.executable, "test.py", "--cfg", cfg_path,
+         "--check_point_dir", out_dir, "--out_dir", eval_dir,
+         "--tile", "32"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mean_soft_dice" in proc.stdout
+    preds = os.listdir(os.path.join(eval_dir, "predictions"))
+    assert any(p.endswith("_grey_heats.png") for p in preds)
