@@ -161,6 +161,16 @@ def main(argv=None):
     logging.info(
         f"TEST mean_dice={mean_dice:.5f} Score={score:.5f} FPR={fpr:.5f}"
     )
+    try:  # TB scalars (reference test.py:173-175)
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.out_dir, "log"))
+        writer.add_scalar("test/mean_dice", mean_dice, 0)
+        writer.add_scalar("test/Score", score, 0)
+        writer.add_scalar("test/FPR", fpr, 0)
+        writer.close()
+    except Exception:
+        pass
     print(f"mean_soft_dice {mean_dice:.5f} Score {score:.5f} FPR {fpr:.5f}")
     return mean_dice, score, fpr
 
