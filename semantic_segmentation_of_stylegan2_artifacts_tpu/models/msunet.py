@@ -72,8 +72,13 @@ class MSUNetSys(nn.Module):
     drop_path_rate: float = 0.1
     patch_norm: bool = True
     use_remat: bool = False
+    remat_high_res: bool = False  # remat only blocks with dim <= 256
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
+
+    def _stage_remat(self, dim: int) -> bool:
+        return self.use_remat or (self.remat_high_res and dim <= 256)
 
     def setup(self):
         nl = len(self.depths)  # num layers (4)
@@ -85,8 +90,8 @@ class MSUNetSys(nn.Module):
             qkv_bias=self.qkv_bias,
             drop=self.drop_rate,
             attn_drop=self.attn_drop_rate,
-            use_remat=self.use_remat,
             use_pallas=self.use_pallas,
+            softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
         )
 
@@ -107,6 +112,7 @@ class MSUNetSys(nn.Module):
                 num_heads=self.num_heads[i],
                 drop_path=_stage_slice(dpr, self.depths, i),
                 downsample=(i < nl - 1),
+                use_remat=self._stage_remat(dims[i]),
                 name=f"layers_{i}",
                 **common,
             )
@@ -140,6 +146,7 @@ class MSUNetSys(nn.Module):
                     num_heads=self.num_heads[s],
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 1),
+                    use_remat=self._stage_remat(dims[s]),
                     name=f"layers_up_{i}",
                     **common,
                 )
@@ -161,6 +168,7 @@ class MSUNetSys(nn.Module):
                     num_heads=self.num_heads[s],
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 2),
+                    use_remat=self._stage_remat(dims[s]),
                     name=f"layers_cent1_{i}",
                     **common,
                 )
@@ -181,6 +189,7 @@ class MSUNetSys(nn.Module):
                     num_heads=self.num_heads[s],
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 3),
+                    use_remat=self._stage_remat(dims[s]),
                     name=f"layers_cent2_{i}",
                     **common,
                 )
@@ -289,7 +298,9 @@ class MSUNet(nn.Module):
     drop_path_rate: float = 0.1
     patch_norm: bool = True
     use_remat: bool = False
+    remat_high_res: bool = False
     use_pallas: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -306,6 +317,8 @@ class MSUNet(nn.Module):
         remat = bool(config.TRAIN.USE_CHECKPOINT) or (
             str(config.TPU.REMAT) == "full"
         )
+        remat_high = str(config.TPU.REMAT) == "high_res"
+
         return cls(
             img_size=img_size or config.DATA.IMG_SIZE,
             num_classes=num_classes or config.MODEL.NUM_CLASSES,
@@ -322,7 +335,11 @@ class MSUNet(nn.Module):
             drop_path_rate=float(config.MODEL.DROP_PATH_RATE),
             patch_norm=bool(swin.PATCH_NORM),
             use_remat=remat,
+            remat_high_res=remat_high,
             use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
+            softmax_dtype=(jnp.bfloat16
+                           if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
+                           else jnp.float32),
             dtype=compute_dtype,
         )
 
@@ -343,7 +360,9 @@ class MSUNet(nn.Module):
             drop_path_rate=self.drop_path_rate,
             patch_norm=self.patch_norm,
             use_remat=self.use_remat,
+            remat_high_res=self.remat_high_res,
             use_pallas=self.use_pallas,
+            softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="msunet",
         )
