@@ -65,28 +65,67 @@ def make_train_step(
     loss_beta: float,
     loss_mix: float,
     donate: bool = True,
+    accumulation_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step: (state, image_u8, label_u8, lr) -> ...
 
     lr rides in as a scalar operand (no recompilation per epoch); the
     dropout key folds in the step counter so every batch draws fresh
     stochastic-depth/dropout noise deterministically.
+
+    ``accumulation_steps > 1`` splits the batch into micro-batches and
+    averages gradients via ``lax.scan`` before one optimizer update —
+    the reference's ``TRAIN.ACCUMULATION_STEPS`` knob, which its trainer
+    never wired up (SURVEY §2.9), made functional.
     """
+
+    def grads_of(params, images, labels, rng):
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, images, False, rngs={"dropout": rng}
+            )
+            return dynamic_loss(logits, labels, loss_alpha, loss_beta,
+                                loss_mix)
+
+        return jax.value_and_grad(loss_fn)(params)
 
     def step_fn(state: TrainState, image_u8, label_u8, lr):
         images = normalize_images(image_u8, model.dtype)
         labels = label_u8.astype(jnp.float32)
         rng = jax.random.fold_in(state.dropout_rng, state.step)
 
-        def loss_fn(params):
-            logits = state.apply_fn(
-                {"params": params}, images, False, rngs={"dropout": rng}
-            )
-            return dynamic_loss(
-                logits, labels, loss_alpha, loss_beta, loss_mix
-            )
+        if accumulation_steps <= 1:
+            loss, grads = grads_of(state.params, images, labels, rng)
+        else:
+            b = images.shape[0]
+            if b % accumulation_steps:
+                raise ValueError(
+                    f"batch {b} not divisible by accumulation_steps "
+                    f"{accumulation_steps}"
+                )
+            mb = b // accumulation_steps
+            images_s = images.reshape(accumulation_steps, mb, *images.shape[1:])
+            labels_s = labels.reshape(accumulation_steps, mb, *labels.shape[1:])
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            def scan_body(carry, xs):
+                loss_acc, grad_acc = carry
+                img, lbl, i = xs
+                loss_i, grads_i = grads_of(
+                    state.params, img, lbl, jax.random.fold_in(rng, i)
+                )
+                return (
+                    loss_acc + loss_i,
+                    jax.tree.map(jnp.add, grad_acc, grads_i),
+                ), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                scan_body, (jnp.zeros((), jnp.float32), zero_grads),
+                (images_s, labels_s, jnp.arange(accumulation_steps)),
+            )
+            loss = loss_sum / accumulation_steps
+            grads = jax.tree.map(lambda g: g / accumulation_steps, grad_sum)
+
         opt_state = set_learning_rate(state.opt_state, lr)
         updates, new_opt_state = state.tx.update(
             grads, opt_state, state.params

@@ -169,7 +169,10 @@ def trainer(
         from ..parallel import replicate_state
 
         state = replicate_state(state, mesh)
-    train_step = make_train_step(model, alpha, beta, mix)
+    train_step = make_train_step(
+        model, alpha, beta, mix,
+        accumulation_steps=max(1, int(config.TRAIN.ACCUMULATION_STEPS)),
+    )
     eval_step = make_eval_step(model, alpha, beta, mix)
 
     schedule = CosineWarmupSchedule.from_config(config, base_lr)
