@@ -69,10 +69,14 @@ def main():
         batch = 2
         steps, warmup = 5, 2
     else:
+        # 1024² needs remat to fit; use the dots policy there by default
+        use_remat = args.remat or args.img >= 1024
+        policy = "dots" if (args.img >= 1024 and not args.remat) else ""
         model = MSUNet(img_size=args.img, embed_dim=128,
                        depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
                        window_size=7, dtype=jnp.bfloat16,
-                       use_remat=args.remat, softmax_dtype=softmax_dtype)
+                       use_remat=use_remat, remat_policy=policy,
+                       softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch
         steps, warmup = args.steps, args.warmup

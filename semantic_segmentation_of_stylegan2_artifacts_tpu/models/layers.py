@@ -354,10 +354,22 @@ class FinalPatchExpandX4V2(nn.Module):
         return x
 
 
-def _maybe_remat(block_cls, remat: bool):
-    if remat:
-        return nn.remat(block_cls, static_argnums=(2,))
-    return block_cls
+def _maybe_remat(block_cls, remat: bool, policy: str = ""):
+    """Wrap a block in jax.checkpoint.
+
+    policy "" => full remat; "dots" => save non-batched dot outputs
+    (qkv/proj/mlp matmuls) and recompute attention logits/softmax/LN in
+    the backward pass — the memory/compute sweet spot that fits the
+    reference's 1024² batch-2 config on a 16GB chip.
+    """
+    if not remat:
+        return block_cls
+    if policy == "dots":
+        return nn.remat(
+            block_cls, static_argnums=(2,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    return nn.remat(block_cls, static_argnums=(2,))
 
 
 class BasicLayer(nn.Module):
@@ -377,12 +389,13 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = ()
     downsample: bool = False
     use_remat: bool = False
+    remat_policy: str = ""
     use_pallas: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        block_cls = _maybe_remat(SwinBlock, self.use_remat)
+        block_cls = _maybe_remat(SwinBlock, self.use_remat, self.remat_policy)
         self.blocks = [
             block_cls(
                 dim=self.dim,
@@ -433,12 +446,13 @@ class BasicLayerUp(nn.Module):
     drop_path: Sequence[float] = ()
     upsample: bool = False
     use_remat: bool = False
+    remat_policy: str = ""
     use_pallas: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        block_cls = _maybe_remat(SwinBlock, self.use_remat)
+        block_cls = _maybe_remat(SwinBlock, self.use_remat, self.remat_policy)
         self.blocks = [
             block_cls(
                 dim=self.dim,

@@ -73,6 +73,7 @@ class MSUNetSys(nn.Module):
     patch_norm: bool = True
     use_remat: bool = False
     remat_high_res: bool = False  # remat only blocks with dim <= 256
+    remat_policy: str = ""  # "" (full) | "dots" (save matmuls, recompute rest)
     use_pallas: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
@@ -90,6 +91,7 @@ class MSUNetSys(nn.Module):
             qkv_bias=self.qkv_bias,
             drop=self.drop_rate,
             attn_drop=self.attn_drop_rate,
+            remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
@@ -299,6 +301,7 @@ class MSUNet(nn.Module):
     patch_norm: bool = True
     use_remat: bool = False
     remat_high_res: bool = False
+    remat_policy: str = ""
     use_pallas: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
@@ -314,10 +317,16 @@ class MSUNet(nn.Module):
                 if str(config.TPU.COMPUTE_DTYPE) == "bfloat16"
                 else jnp.float32
             )
-        remat = bool(config.TRAIN.USE_CHECKPOINT) or (
-            str(config.TPU.REMAT) == "full"
-        )
-        remat_high = str(config.TPU.REMAT) == "high_res"
+        remat_mode = str(config.TPU.REMAT)
+        size = img_size or config.DATA.IMG_SIZE
+        if remat_mode == "auto":
+            # 1024² activations exceed 16GB HBM without remat; the dots
+            # policy fits it with the least recompute.
+            remat_mode = "dots" if size >= 1024 else "none"
+        remat = bool(config.TRAIN.USE_CHECKPOINT) or remat_mode in (
+            "full", "dots")
+        remat_high = remat_mode == "high_res"
+        remat_policy = "dots" if remat_mode == "dots" else ""
 
         return cls(
             img_size=img_size or config.DATA.IMG_SIZE,
@@ -336,6 +345,7 @@ class MSUNet(nn.Module):
             patch_norm=bool(swin.PATCH_NORM),
             use_remat=remat,
             remat_high_res=remat_high,
+            remat_policy=remat_policy,
             use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
@@ -361,6 +371,7 @@ class MSUNet(nn.Module):
             patch_norm=self.patch_norm,
             use_remat=self.use_remat,
             remat_high_res=self.remat_high_res,
+            remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
