@@ -15,8 +15,6 @@ import os
 import subprocess
 import sys
 from pathlib import Path
-from typing import List, Optional
-
 import pandas as pd
 
 from ..core.yaml_editor import ConfigParser

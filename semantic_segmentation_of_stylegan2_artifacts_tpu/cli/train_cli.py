@@ -15,7 +15,6 @@ import logging
 import os
 import random
 import shutil
-import sys
 from datetime import datetime
 
 import numpy as np

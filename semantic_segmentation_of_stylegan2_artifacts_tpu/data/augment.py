@@ -21,7 +21,7 @@ CHW happens on device, not here — images travel to TPU as uint8).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import cv2
 import numpy as np

@@ -16,7 +16,7 @@ The load-bearing naming convention is preserved: fake ids start with
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from PIL import Image

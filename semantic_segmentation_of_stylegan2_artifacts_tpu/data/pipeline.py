@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import random
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List
 
 import numpy as np
 

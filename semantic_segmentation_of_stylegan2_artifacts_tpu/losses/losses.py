@@ -14,8 +14,6 @@ Shapes: logits ``(B, H, W)`` or ``(B, H, W, 1)``; targets likewise
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Optional
-
 from .segmentation import EpochSummary
 
 

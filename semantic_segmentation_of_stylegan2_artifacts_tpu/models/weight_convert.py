@@ -21,7 +21,6 @@ key mapping itself is pure string/numpy work.
 from __future__ import annotations
 
 import os
-import re
 from typing import Dict, Optional, Tuple
 
 import numpy as np

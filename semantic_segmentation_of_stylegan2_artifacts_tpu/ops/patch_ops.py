@@ -11,7 +11,6 @@ reshape/transpose — XLA fuses them into the adjacent matmuls for free.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def merge_2x2(x: jax.Array) -> jax.Array:

@@ -14,7 +14,7 @@ attention/MLP matmuls (stretch; size 1 by default).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -12,8 +12,6 @@ mapping table the converters rely on.
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 from typing import Dict, List, Tuple
 
 import numpy as np

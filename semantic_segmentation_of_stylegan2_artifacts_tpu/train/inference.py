@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

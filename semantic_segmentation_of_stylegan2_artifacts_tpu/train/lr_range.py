@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Optional
-
 import jax.numpy as jnp
-import numpy as np
 
 from ..metrics.csv_logger import CSVHandler
 from .inference import validation_loss

@@ -15,9 +15,8 @@ get ``set_to_zero`` so no state or update is carried.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Set, Tuple
+from typing import Optional, Set, Tuple
 
-import jax
 import optax
 from flax import traverse_util
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import logging as _logging
 import os
 import time
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import pandas as pd
 
 
