@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
 )
+from .tp import shard_params_tp, shard_state_tp  # noqa: F401

@@ -87,3 +87,47 @@ def test_dp_matches_single_device(tiny):
     a = jax.tree.leaves(s1.params)[0]
     b = jax.tree.leaves(s8.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hybrid_dp_tp_matches_single_device(tiny):
+    """4x2 dp x tp step == single-device step (XLA inserts collectives)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.parallel import (
+        shard_state_tp,
+    )
+    from flax import traverse_util
+
+    model, c, state = tiny
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(8, 32, 32) > 0.8).astype(np.uint8)
+
+    s1, loss1 = step(state, jnp.asarray(img), jnp.asarray(lbl),
+                     jnp.asarray(1e-3))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = shard_state_tp(state, mesh)
+    flat = traverse_util.flatten_dict(state_tp.params)
+    qkv = next(v for k, v in flat.items()
+               if "qkv" in "/".join(k) and k[-1] == "kernel")
+    assert str(qkv.sharding.spec) == "PartitionSpec(None, 'model')"
+    fc2 = next(v for k, v in flat.items()
+               if "fc2" in "/".join(k) and k[-1] == "kernel")
+    assert str(fc2.sharding.spec) == "PartitionSpec('model',)" or \
+        str(fc2.sharding.spec) == "PartitionSpec('model', None)"
+
+    batch = shard_batch({"image": img, "label": lbl}, mesh)
+    s2, loss2 = step(state_tp, batch["image"], batch["label"],
+                     jnp.asarray(1e-3))
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
+                               atol=1e-5)
+
+
+def test_graft_dryrun_hybrid():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # even -> dp4 x tp2 path
+    g.dryrun_multichip(3)  # odd -> pure dp
