@@ -47,6 +47,9 @@ def main():
                     help="keep fp32 attention softmax (parity mode); the "
                          "default benchmarks the bf16-softmax deployment "
                          "config (~4%% faster, metric-level equivalent)")
+    ap.add_argument("--mode", choices=["train", "infer"], default="train",
+                    help="train step throughput (default) or forward-only "
+                         "serving throughput")
     args = ap.parse_args()
 
     from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
@@ -103,6 +106,31 @@ def main():
         (rng.rand(batch, img_size, img_size) > 0.8).astype(np.uint8)
     )
     lr = jnp.asarray(1e-4, jnp.float32)
+
+    if args.mode == "infer":
+        from semantic_segmentation_of_stylegan2_artifacts_tpu.train.state import (
+            make_predict_step,
+        )
+
+        predict = make_predict_step(model)
+        t0 = time.time()
+        for _ in range(warmup):
+            probs = predict(state.params, image)
+        float(jnp.sum(probs[..., :1]))
+        print(f"compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(steps):
+            probs = predict(state.params, image)
+        float(jnp.sum(probs[..., :1]))  # hard host sync (see below)
+        dt = time.time() - t0
+        ips = batch * steps / dt
+        print(json.dumps({
+            "metric": f"msunet_swin_b_{img_size}sq_infer_throughput",
+            "value": round(ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / (REFERENCE_GPU_IPS * 3.0), 3),
+        }))
+        return
 
     step = make_train_step(model, 0.2, 0.8, 0.45, donate=True)
 

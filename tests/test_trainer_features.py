@@ -161,3 +161,31 @@ def test_tiled_eval_cli(tmp_path):
     assert "mean_soft_dice" in proc.stdout
     preds = os.listdir(os.path.join(eval_dir, "predictions"))
     assert any(p.endswith("_grey_heats.png") for p in preds)
+
+
+def test_trainer_freeze_unfreeze_escalation(synth_root, tmp_path):
+    """FREEZE_ENCODER with immediate stage-unfreeze epochs exercises the
+    optimizer-rebuild path end to end."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    out_dir = str(tmp_path / "frz_out")
+    c = _base_config(synth_root, out_dir)
+    c.TRAIN.MAX_EPOCHS = 3
+    c.MODEL.FREEZE_ENCODER = True
+    # unfreeze stage 3 at epoch 0, stage 2 at epoch 1, rest later
+    c.MODEL.STAGE3_UNFREEZE_PERIODE = 0.0
+    c.MODEL.STAGE2_UNFREEZE_PERIODE = 0.34
+    c.MODEL.STAGE1_UNFREEZE_PERIODE = 0.67
+    c.MODEL.STAGE0_UNFREEZE_PERIODE = 2.0  # never within 3 epochs
+    c.freeze()
+    result = trainer(_tiny_model(), logging.getLogger("frz"), None, out_dir, c)
+    assert result == "Training Finished!"
+    log = open(os.path.join(out_dir, "log.txt")).read() if os.path.exists(
+        os.path.join(out_dir, "log.txt")) else ""
+    # the trainer logs each unfreeze through the passed logger; check the
+    # run completed all epochs with CSV rows
+    with open(os.path.join(out_dir, "val_metric_all_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 4
