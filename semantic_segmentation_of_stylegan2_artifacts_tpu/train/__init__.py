@@ -1,3 +1,9 @@
 from .schedule import CosineWarmupSchedule  # noqa: F401
-from .optim import build_optimizer, decay_mask_fn, encoder_path  # noqa: F401
-from .state import TrainState, create_train_state, train_step, eval_step  # noqa: F401
+from .optim import build_optimizer, decay_mask_fn  # noqa: F401
+from .state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)

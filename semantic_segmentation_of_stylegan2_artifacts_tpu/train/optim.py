@@ -32,22 +32,6 @@ def decay_mask_fn(params) -> dict:
     return traverse_util.unflatten_dict(mask)
 
 
-def encoder_path(path: Tuple[str, ...]) -> bool:
-    """Is this param inside the encoder (patch_embed or layers_i)?
-
-    Matches the reference freeze set (``model_parts.py:867-876``):
-    patch_embed + the 4 encoder stages (NOT layers_up/cent decoders).
-    """
-    for part in path:
-        if part == "patch_embed":
-            return True
-        if part.startswith("layers_") and not (
-            part.startswith("layers_up") or part.startswith("layers_cent")
-        ):
-            return True
-    return False
-
-
 def freeze_labels(params, frozen_stages: Set[int], freeze_patch_embed: bool):
     """'frozen' / 'trainable' label tree for multi_transform.
 

@@ -166,15 +166,3 @@ def make_predict_step(model) -> Callable:
 
     return jax.jit(step_fn)
 
-
-# Back-compat simple entry points used by tests
-def train_step(state, batch, lr, model, alpha=0.4, beta=0.6, mix=0.5):
-    return make_train_step(model, alpha, beta, mix, donate=False)(
-        state, batch["image"], batch["label"], lr
-    )
-
-
-def eval_step(params, batch, model, alpha=0.4, beta=0.6, mix=0.5):
-    return make_eval_step(model, alpha, beta, mix)(
-        params, batch["image"], batch["label"]
-    )

@@ -101,7 +101,6 @@ def trainer(
     if logger is None:
         logger = _logging.getLogger("trainer")
 
-    warmup_epochs = config.TRAIN.WARMUP_EPOCHS
     max_epoch = config.TRAIN.MAX_EPOCHS
     freeze_encoder = bool(config.MODEL.FREEZE_ENCODER)
     img_size = config.DATA.IMG_SIZE
