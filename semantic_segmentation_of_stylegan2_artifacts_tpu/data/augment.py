@@ -84,12 +84,14 @@ class RandomGenerator:
     """
 
     def __init__(self, output_size, random_flip_flag: bool = False,
-                 transform: bool = True, seed: int = 0):
+                 transform: bool = True, seed: int = 0,
+                 num_classes: int = 1):
         self.output_size = tuple(output_size)
         self.random_flip_flag = random_flip_flag
         self.enable_transform = transform
         self.seed = seed
         self.epoch = 0
+        self.num_classes = num_classes
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -145,5 +147,9 @@ class RandomGenerator:
 
         out = {"image": image, "case_name": sample.get("case_name", "")}
         if label is not None:
-            out["label"] = (label > 127).astype(np.uint8)
+            if self.num_classes > 1:
+                # multi-class masks hold integer class ids; pass through
+                out["label"] = label
+            else:
+                out["label"] = (label > 127).astype(np.uint8)
         return out

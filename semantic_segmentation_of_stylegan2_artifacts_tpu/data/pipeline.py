@@ -77,6 +77,7 @@ class TrainLoader:
         num_workers: int = 4,
         prefetch_depth: int = 2,
         batch_size: int = 2,
+        num_classes: int = 1,
     ):
         self.fake_ds = fake_ds
         self.real_ds = real_ds
@@ -87,7 +88,7 @@ class TrainLoader:
         self.batch_size = batch_size
         self.transform = RandomGenerator(
             output_size=[img_size, img_size], random_flip_flag=True,
-            transform=True, seed=seed,
+            transform=True, seed=seed, num_classes=num_classes,
         )
 
     def num_batches(self, epoch: int, merge: int = 1) -> int:
@@ -168,11 +169,11 @@ class EvalLoader:
     """Sequential batch-1 loader without augmentation (val/test)."""
 
     def __init__(self, ds, img_size: int, num_workers: int = 2,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2, num_classes: int = 1):
         self.ds = ds
         self.transform = RandomGenerator(
             output_size=[img_size, img_size], random_flip_flag=False,
-            transform=False,
+            transform=False, num_classes=num_classes,
         )
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)

@@ -31,14 +31,16 @@ def _face_like(rng: np.random.Generator, size: int) -> Image.Image:
     return Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "RGB")
 
 
-def _artifact_mask(rng: np.random.Generator, size: int, n_artifacts: int
-                   ) -> Image.Image:
+def _artifact_mask(rng: np.random.Generator, size: int, n_artifacts: int,
+                   num_classes: int = 1) -> Image.Image:
+    """Binary masks use {0,255}; multi-class masks hold class ids 1..C."""
     mask = Image.new("L", (size, size), 0)
     draw = ImageDraw.Draw(mask)
     for _ in range(n_artifacts):
         cx, cy = rng.integers(0, size, 2)
         rx, ry = rng.integers(size // 20, size // 6, 2)
-        draw.ellipse([cx - rx, cy - ry, cx + rx, cy + ry], fill=255)
+        fill = 255 if num_classes <= 1 else int(rng.integers(1, num_classes + 1))
+        draw.ellipse([cx - rx, cy - ry, cx + rx, cy + ry], fill=fill)
     return mask
 
 
@@ -52,6 +54,7 @@ def generate_synthetic_dataset(
     n_test_fake: int = 2,
     n_test_real: int = 1,
     seed: int = 0,
+    num_classes: int = 1,
 ) -> Dict[str, List[str]]:
     """Create the tree; returns the split lists. ``lists/`` holds
     train/val/test/fake_train/real_train/real_train_all/two.txt."""
@@ -71,7 +74,8 @@ def generate_synthetic_dataset(
         fake_ids.append(cid)
         _face_like(rng, img_size).save(
             os.path.join(root, "fake_images", cid + ".png"))
-        _artifact_mask(rng, img_size, int(rng.integers(1, 4))).save(
+        _artifact_mask(rng, img_size, int(rng.integers(1, 4)), num_classes
+                       ).save(
             os.path.join(root, "fake_labels", cid + "_mask.png"))
     for i in range(n_real):
         cid = f"{10000 + i:05d}"  # real ids: 5 digits, never 09-prefixed

@@ -237,3 +237,45 @@ class MetricsAggregator:
             mean_bin_f1=mean([c.bin_f1 for c in fake]),
             mean_soft_iou=mean([c.soft_iou for c in fake]),
         )
+
+
+def case_metrics_multiclass(
+    probs: jax.Array, label: jax.Array, sig_threshold: float
+) -> Dict[str, jax.Array]:
+    """Macro-averaged per-case metrics for multi-class (multi-label) eval.
+
+    ``probs``: (H, W, C) per-class sigmoids; ``label``: (H, W) integer
+    class ids (0 = background).  Per-class binary metrics are computed
+    with the same formulas as :func:`case_metrics`; the dice family is
+    macro-averaged over classes *present in the ground truth* (absent
+    classes would read dice 0 and poison the mean), while FPR/accuracy
+    average over all classes.  ``is_real`` = no foreground of any class.
+    """
+    c = probs.shape[-1]
+    lab = label.astype(jnp.int32)
+    per = [case_metrics(probs[..., k], (lab == (k + 1)).astype(jnp.float32),
+                        sig_threshold) for k in range(c)]
+
+    def stack(key):
+        return jnp.stack([p[key] for p in per])
+
+    present = jnp.stack([jnp.logical_not(p["is_real"]) for p in per])
+    n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+
+    def macro_fg(key):
+        vals = stack(key)
+        return jnp.sum(jnp.where(present, vals, 0.0)) / n_present
+
+    out = {k: jnp.mean(stack(k)) for k in
+           ("tp", "fp", "fn", "tn", "soft_tp", "soft_fp", "soft_fn",
+            "soft_tn", "accuracy", "fpr")}
+    for k in ("bin_dice", "bin_recall", "bin_precision", "bin_iou",
+              "bin_f1", "soft_dice", "soft_iou"):
+        out[k] = macro_fg(k)
+    out["is_real"] = jnp.logical_not(jnp.any(present))
+    return out
+
+
+compute_case_metrics_multiclass_jit = jax.jit(
+    case_metrics_multiclass, static_argnames=("sig_threshold",)
+)

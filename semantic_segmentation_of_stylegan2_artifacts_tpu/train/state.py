@@ -57,6 +57,30 @@ def normalize_images(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
     return images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
 
 
+def encode_labels(label_u8: jax.Array, num_classes: int) -> jax.Array:
+    """uint8 label maps -> loss targets.
+
+    ``num_classes == 1``: binary float map (B, H, W) (reference contract,
+    values {0,1} or {0,255} normalized downstream).
+    ``num_classes > 1``: labels hold integer class ids 0..C (0 =
+    background); one-hot encode classes 1..C -> (B, H, W, C) multi-label
+    targets on device.
+    """
+    if num_classes <= 1:
+        return label_u8.astype(jnp.float32)
+    return jax.nn.one_hot(label_u8.astype(jnp.int32), num_classes + 1,
+                          dtype=jnp.float32)[..., 1:]
+
+
+def _loss_for(num_classes: int):
+    if num_classes <= 1:
+        return dynamic_loss
+    from .. import losses as _losses  # avoid cycle at import time
+    from ..losses.multiclass import dynamic_loss_multiclass
+
+    return dynamic_loss_multiclass
+
+
 def make_train_step(
     model,
     loss_alpha: float,
@@ -64,6 +88,7 @@ def make_train_step(
     loss_mix: float,
     donate: bool = True,
     accumulation_steps: int = 1,
+    num_classes: int = 1,
 ) -> Callable:
     """Build the jitted train step: (state, image_u8, label_u8, lr) -> ...
 
@@ -75,21 +100,25 @@ def make_train_step(
     averages gradients via ``lax.scan`` before one optimizer update —
     the reference's ``TRAIN.ACCUMULATION_STEPS`` knob, which its trainer
     never wired up (SURVEY §2.9), made functional.
+
+    ``num_classes > 1`` switches to the multi-label Dynamic loss with
+    integer class-id label maps (see :func:`encode_labels`).
     """
+    loss_impl = _loss_for(num_classes)
 
     def grads_of(params, images, labels, rng):
         def loss_fn(params):
             logits = model.apply(
                 {"params": params}, images, False, rngs={"dropout": rng}
             )
-            return dynamic_loss(logits, labels, loss_alpha, loss_beta,
-                                loss_mix)
+            return loss_impl(logits, labels, loss_alpha, loss_beta,
+                             loss_mix)
 
         return jax.value_and_grad(loss_fn)(params)
 
     def step_fn(state: TrainState, image_u8, label_u8, lr):
         images = normalize_images(image_u8, model.dtype)
-        labels = label_u8.astype(jnp.float32)
+        labels = encode_labels(label_u8, num_classes)
         rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         if accumulation_steps <= 1:
@@ -138,19 +167,25 @@ def make_train_step(
 
 
 def make_eval_step(
-    model, loss_alpha: float, loss_beta: float, loss_mix: float
+    model, loss_alpha: float, loss_beta: float, loss_mix: float,
+    num_classes: int = 1,
 ) -> Callable:
     """Jitted eval: (params, image_u8, label_u8) -> (probs fp32, loss).
 
-    probs: (B, H, W) sigmoid over the single logit channel.
+    probs: (B, H, W) sigmoid over the single logit channel, or
+    (B, H, W, C) per-class sigmoids when ``num_classes > 1``.
     """
+    loss_impl = _loss_for(num_classes)
 
     def step_fn(params, image_u8, label_u8):
         images = normalize_images(image_u8, model.dtype)
-        labels = label_u8.astype(jnp.float32)
+        labels = encode_labels(label_u8, num_classes)
         logits = model.apply({"params": params}, images, True)
-        loss = dynamic_loss(logits, labels, loss_alpha, loss_beta, loss_mix)
-        probs = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        loss = loss_impl(logits, labels, loss_alpha, loss_beta, loss_mix)
+        if num_classes <= 1:
+            probs = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        else:
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return probs, loss
 
     return jax.jit(step_fn)

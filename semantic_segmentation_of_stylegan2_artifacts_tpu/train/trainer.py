@@ -35,6 +35,7 @@ from ..metrics.csv_logger import CSVHandler
 from ..metrics.segmentation import (
     MetricsAggregator,
     compute_case_metrics_jit,
+    compute_case_metrics_multiclass_jit,
     to_case_metrics,
 )
 from ..viz.maps import create_bin_heat_mask_from_list
@@ -54,7 +55,7 @@ def validate(
     mean_train_loss: float = float("nan"),
     logger=None,
     csv_handler: Optional[CSVHandler] = None,
-    device_batches=None,
+    num_classes: int = 1,
 ):
     """Run the metric pass over a batch-1 loader (reference
     ``validation_functions.py:37-211``).
@@ -66,12 +67,21 @@ def validate(
     for i_batch, batch in enumerate(valloader):
         probs, loss = eval_step(params, batch["image"], batch["label"])
         case_name = batch["case_name"][0]
-        m = compute_case_metrics_jit(
-            probs[0], jnp.asarray(batch["label"][0]), sig_threshold
-        )
+        if num_classes <= 1:
+            m = compute_case_metrics_jit(
+                probs[0], jnp.asarray(batch["label"][0]), sig_threshold
+            )
+        else:
+            m = compute_case_metrics_multiclass_jit(
+                probs[0], jnp.asarray(batch["label"][0]), sig_threshold
+            )
         agg.add(to_case_metrics(case_name, m, float(loss)))
         if i_batch < output_num:
-            output_saver.append((case_name, np.asarray(probs[0])))
+            # multi-class: export the max-over-classes probability map
+            pm = np.asarray(probs[0])
+            if pm.ndim == 3:
+                pm = pm.max(axis=-1)
+            output_saver.append((case_name, pm))
     summary = agg.summarize(epoch, mean_train_loss)
     if csv_handler is not None:
         csv_handler.write_epoch(summary)
@@ -131,8 +141,10 @@ def trainer(
         dynamic_loader=bool(config.DYNAMIC_LOADER),
         num_workers=int(config.DATA.NUM_WORKERS),
         prefetch_depth=int(config.TPU.PREFETCH_DEPTH),
+        num_classes=int(config.MODEL.NUM_CLASSES),
     )
-    valloader = EvalLoader(db_val, img_size=img_size)
+    valloader = EvalLoader(db_val, img_size=img_size,
+                           num_classes=int(config.MODEL.NUM_CLASSES))
 
     # ---- model/optimizer state ------------------------------------------
     alpha = float(config.TRAIN.TVERSKY_LOSS_ALPHA)
@@ -168,11 +180,14 @@ def trainer(
         from ..parallel import replicate_state
 
         state = replicate_state(state, mesh)
+    num_classes = int(config.MODEL.NUM_CLASSES)
     train_step = make_train_step(
         model, alpha, beta, mix,
         accumulation_steps=max(1, int(config.TRAIN.ACCUMULATION_STEPS)),
+        num_classes=num_classes,
     )
-    eval_step = make_eval_step(model, alpha, beta, mix)
+    eval_step = make_eval_step(model, alpha, beta, mix,
+                               num_classes=num_classes)
 
     schedule = CosineWarmupSchedule.from_config(config, base_lr)
 
@@ -255,6 +270,7 @@ def trainer(
             output_num=int(config.SHOW_PREDICTIONS),
             mean_train_loss=mean_train_loss,
             logger=logger, csv_handler=csv_handler,
+            num_classes=num_classes,
         )
 
         # -------- model selection (Score) --------

@@ -73,3 +73,77 @@ def test_multiclass_model_output():
 
     g = jax.grad(lambda p: loss_fn(p))(params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g))
+
+
+def test_multiclass_metrics_macro():
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.metrics.segmentation import (
+        compute_case_metrics_multiclass_jit,
+    )
+
+    label = np.zeros((8, 8), np.uint8)
+    label[:4, :4] = 1     # class 1 fg
+    label[4:, 4:] = 2     # class 2 fg
+    probs = np.zeros((8, 8, 2), np.float32)
+    probs[:4, :4, 0] = 0.9     # class 1 perfect
+    probs[:4, 4:, 1] = 0.9     # class 2 fully wrong location
+    m = compute_case_metrics_multiclass_jit(
+        jnp.asarray(probs), jnp.asarray(label), 0.5)
+    md = {k: float(v) for k, v in m.items()}
+    assert not md["is_real"]
+    # macro dice over the 2 present classes: (1.0 + ~0)/2
+    assert 0.45 < md["bin_dice"] < 0.55
+    # empty-label case is "real"
+    m2 = compute_case_metrics_multiclass_jit(
+        jnp.asarray(np.zeros((8, 8, 2), np.float32)),
+        jnp.asarray(np.zeros((8, 8), np.uint8)), 0.5)
+    assert bool(m2["is_real"])
+
+
+def test_multiclass_trainer_end_to_end(tmp_path):
+    import logging
+    import os
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        default_config,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.synthetic import (
+        generate_synthetic_dataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    root = str(tmp_path / "mc_data")
+    generate_synthetic_dataset(root, img_size=32, num_classes=3)
+    from PIL import Image
+    lbl = np.asarray(Image.open(os.path.join(
+        root, "fake_labels", "090000_mask.png")))
+    assert lbl.max() <= 3  # class ids, not 255
+
+    out_dir = str(tmp_path / "mc_out")
+    c = default_config()
+    c.defrost()
+    c.DATA.DATA_PATH = root
+    c.DATA.IMG_SIZE = 32
+    c.LIST_DIR = os.path.join(root, "lists")
+    c.TRAIN.MAX_EPOCHS = 1
+    c.TRAIN.WARMUP_EPOCHS = 0
+    c.TRAIN.BASE_LR = 1e-4
+    c.MODEL.FREEZE_ENCODER = False
+    c.MODEL.NUM_CLASSES = 3
+    c.SAVE_BEST_RUN = True
+    c.SHOW_PREDICTIONS = 1
+    c.DATA.NUM_WORKERS = 2
+    c.TPU.COMPUTE_DTYPE = "float32"
+    c.freeze()
+
+    model = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
+                   num_heads=(2, 2, 2, 2), window_size=4, num_classes=3)
+    result = trainer(model, logging.getLogger("mc"), None, out_dir, c)
+    assert result == "Training Finished!"
+    import csv as _csv
+    with open(os.path.join(out_dir, "val_metric_all_epoch.csv")) as f:
+        rows = list(_csv.reader(f))
+    assert len(rows) == 2
+    preds = os.listdir(os.path.join(out_dir, "final_preds"))
+    assert any(p.endswith("_grey_heats.png") for p in preds)
