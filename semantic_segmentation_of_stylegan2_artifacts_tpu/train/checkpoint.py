@@ -69,3 +69,38 @@ def save_last(log_dir: str, epoch: int, params: Any, opt_state: Any,
         "dice": dice,
     })
     return path
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async-capable, sharding-aware checkpoints
+# ---------------------------------------------------------------------------
+def save_checkpoint_orbax(path: str, tree: Any) -> None:
+    """Save via orbax StandardCheckpointer (directory-based, atomic).
+
+    Preferred for large/sharded states (multi-host, async); the msgpack
+    backend remains the default for single-file portability.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(tree))
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x,
+            target,
+        )
+        return ckptr.restore(os.path.abspath(path), abstract)
+    return ckptr.restore(os.path.abspath(path))

@@ -249,3 +249,20 @@ def test_trainer_end_to_end(tmp_path):
     preds = os.listdir(os.path.join(out_dir, "final_preds"))
     assert any(p.endswith("_grey_heats.png") for p in preds)
     assert any(p.endswith("_bin_mask.png") for p in preds)
+
+
+def test_orbax_checkpoint_roundtrip(tiny_state, tmp_path):
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    _, _, state = tiny_state
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, state.params)
+    restored = restore_checkpoint_orbax(path, target=state.params)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # overwrite works (pre-existing dir removed)
+    save_checkpoint_orbax(path, state.params)
