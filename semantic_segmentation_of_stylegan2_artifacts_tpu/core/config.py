@@ -234,6 +234,7 @@ def default_config() -> CfgNode:
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2
+    c.TPU.EVAL_BATCH = 1  # >1 batches validation (exact per-case metrics)
     return c
 
 

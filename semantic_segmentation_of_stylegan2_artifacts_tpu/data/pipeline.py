@@ -166,10 +166,17 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential batch-1 loader without augmentation (val/test)."""
+    """Sequential loader without augmentation (val/test).
+
+    ``batch_size=1`` reproduces the reference's per-case evaluation loop
+    exactly; larger batches amortize dispatch (per-case metrics stay
+    exact via the vmapped metric kernel).  The last batch may be smaller
+    (one extra jit specialization).
+    """
 
     def __init__(self, ds, img_size: int, num_workers: int = 2,
-                 prefetch_depth: int = 2, num_classes: int = 1):
+                 prefetch_depth: int = 2, num_classes: int = 1,
+                 batch_size: int = 1):
         self.ds = ds
         self.transform = RandomGenerator(
             output_size=[img_size, img_size], random_flip_flag=False,
@@ -177,24 +184,28 @@ class EvalLoader:
         )
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)
+        self.batch_size = max(1, batch_size)
 
     def __len__(self) -> int:
         return len(self.ds)
 
     def __iter__(self) -> Iterator[Dict]:
-        def fetch(i: int) -> Dict:
-            return _stack_batch([self.transform(self.ds[i])])
-
+        bs = self.batch_size
         n = len(self.ds)
+        chunks = [list(range(i, min(i + bs, n))) for i in range(0, n, bs)]
+
+        def fetch(chunk) -> Dict:
+            return _stack_batch([self.transform(self.ds[i]) for i in chunk])
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             nxt = 0
-            for _ in range(min(self.prefetch_depth, n)):
-                pending.append(pool.submit(fetch, nxt))
+            for _ in range(min(self.prefetch_depth, len(chunks))):
+                pending.append(pool.submit(fetch, chunks[nxt]))
                 nxt += 1
             while pending:
                 fut = pending.pop(0)
-                if nxt < n:
-                    pending.append(pool.submit(fetch, nxt))
+                if nxt < len(chunks):
+                    pending.append(pool.submit(fetch, chunks[nxt]))
                     nxt += 1
                 yield fut.result()

@@ -87,6 +87,32 @@ def focal_tversky_loss(
     return tversky_loss(logits, targets, alpha, beta, smooth, axis) ** gamma
 
 
+def dynamic_loss_per_sample(
+    logits: jax.Array,
+    targets: jax.Array,
+    alpha: float = 0.4,
+    beta: float = 0.6,
+    tversky_bce_mix: float = 0.5,
+    smooth: float = 1e-6,
+) -> jax.Array:
+    """Per-sample Dynamic losses, shape ``(B,)`` (no batch mean)."""
+    if logits.ndim == 4 and logits.shape[-1] == 1:
+        logits = logits[..., 0]
+    if targets.ndim == 4 and targets.shape[-1] == 1:
+        targets = targets[..., 0]
+    targets = _normalize_target(targets)
+    lf = _flatten_per_sample(logits)
+    tf = _flatten_per_sample(targets)
+
+    bce = bce_with_logits(lf, tf, axis=1)  # (B,)
+    ti = tversky_index(jax.nn.sigmoid(lf.astype(jnp.float32)), tf, alpha, beta,
+                       smooth, axis=1)
+    tv = 1.0 - ti
+    has_fg = jnp.sum(tf, axis=1) != 0.0
+    mixed = (1.0 - tversky_bce_mix) * bce + tversky_bce_mix * tv
+    return jnp.where(has_fg, mixed, bce)
+
+
 def dynamic_loss(
     logits: jax.Array,
     targets: jax.Array,
@@ -104,22 +130,10 @@ def dynamic_loss(
         else ``loss_i = bce_i``
     Returns the batch mean (reference ``DynamicLoss.py:82-111``).
     """
-    if logits.ndim == 4 and logits.shape[-1] == 1:
-        logits = logits[..., 0]
-    if targets.ndim == 4 and targets.shape[-1] == 1:
-        targets = targets[..., 0]
-    targets = _normalize_target(targets)
-    lf = _flatten_per_sample(logits)
-    tf = _flatten_per_sample(targets)
-
-    bce = bce_with_logits(lf, tf, axis=1)  # (B,)
-    ti = tversky_index(jax.nn.sigmoid(lf.astype(jnp.float32)), tf, alpha, beta,
-                       smooth, axis=1)
-    tv = 1.0 - ti
-    has_fg = jnp.sum(tf, axis=1) != 0.0
-    mixed = (1.0 - tversky_bce_mix) * bce + tversky_bce_mix * tv
-    per_sample = jnp.where(has_fg, mixed, bce)
-    return jnp.mean(per_sample)
+    return jnp.mean(
+        dynamic_loss_per_sample(logits, targets, alpha, beta,
+                                tversky_bce_mix, smooth)
+    )
 
 
 def symmetric_unified_focal_loss(

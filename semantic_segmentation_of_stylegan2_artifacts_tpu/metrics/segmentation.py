@@ -279,3 +279,10 @@ def case_metrics_multiclass(
 compute_case_metrics_multiclass_jit = jax.jit(
     case_metrics_multiclass, static_argnames=("sig_threshold",)
 )
+
+
+# Batched per-case metrics: one dispatch per batch instead of per case.
+compute_case_metrics_batch_jit = jax.jit(
+    jax.vmap(case_metrics, in_axes=(0, 0, None)),
+    static_argnames=("sig_threshold",),
+)

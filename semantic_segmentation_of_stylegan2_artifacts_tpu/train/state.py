@@ -168,14 +168,20 @@ def make_train_step(
 
 def make_eval_step(
     model, loss_alpha: float, loss_beta: float, loss_mix: float,
-    num_classes: int = 1,
+    num_classes: int = 1, per_sample: bool = False,
 ) -> Callable:
     """Jitted eval: (params, image_u8, label_u8) -> (probs fp32, loss).
 
     probs: (B, H, W) sigmoid over the single logit channel, or
     (B, H, W, C) per-class sigmoids when ``num_classes > 1``.
+    ``per_sample=True`` returns a (B,) loss vector instead of the batch
+    mean (used by the batched validation pass for exact per-case losses).
     """
     loss_impl = _loss_for(num_classes)
+    if per_sample and num_classes <= 1:
+        from ..losses.losses import dynamic_loss_per_sample
+
+        loss_impl = dynamic_loss_per_sample
 
     def step_fn(params, image_u8, label_u8):
         images = normalize_images(image_u8, model.dtype)

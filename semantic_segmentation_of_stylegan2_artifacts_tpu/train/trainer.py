@@ -34,6 +34,7 @@ from ..data.pipeline import EvalLoader, TrainLoader
 from ..metrics.csv_logger import CSVHandler
 from ..metrics.segmentation import (
     MetricsAggregator,
+    compute_case_metrics_batch_jit,
     compute_case_metrics_jit,
     compute_case_metrics_multiclass_jit,
     to_case_metrics,
@@ -64,24 +65,40 @@ def validate(
     """
     agg = MetricsAggregator()
     output_saver: List[Tuple[str, np.ndarray]] = []
-    for i_batch, batch in enumerate(valloader):
+    n_cases = 0
+    for batch in valloader:
         probs, loss = eval_step(params, batch["image"], batch["label"])
-        case_name = batch["case_name"][0]
-        if num_classes <= 1:
-            m = compute_case_metrics_jit(
-                probs[0], jnp.asarray(batch["label"][0]), sig_threshold
+        bsz = len(batch["case_name"])
+        losses = np.atleast_1d(np.asarray(loss, dtype=np.float64))
+        if losses.shape[0] != bsz:  # batch-mean loss: replicate
+            losses = np.full((bsz,), float(losses.mean()))
+        if num_classes <= 1 and bsz > 1:
+            mb = compute_case_metrics_batch_jit(
+                probs, jnp.asarray(batch["label"]), sig_threshold
             )
+            mb = {k: np.asarray(v) for k, v in mb.items()}
+            case_ms = [{k: v[i] for k, v in mb.items()} for i in range(bsz)]
         else:
-            m = compute_case_metrics_multiclass_jit(
-                probs[0], jnp.asarray(batch["label"][0]), sig_threshold
-            )
-        agg.add(to_case_metrics(case_name, m, float(loss)))
-        if i_batch < output_num:
-            # multi-class: export the max-over-classes probability map
-            pm = np.asarray(probs[0])
-            if pm.ndim == 3:
-                pm = pm.max(axis=-1)
-            output_saver.append((case_name, pm))
+            case_ms = []
+            for i in range(bsz):
+                if num_classes <= 1:
+                    case_ms.append(compute_case_metrics_jit(
+                        probs[i], jnp.asarray(batch["label"][i]),
+                        sig_threshold))
+                else:
+                    case_ms.append(compute_case_metrics_multiclass_jit(
+                        probs[i], jnp.asarray(batch["label"][i]),
+                        sig_threshold))
+        for i in range(bsz):
+            case_name = batch["case_name"][i]
+            agg.add(to_case_metrics(case_name, case_ms[i], float(losses[i])))
+            if n_cases < output_num:
+                # multi-class: export the max-over-classes probability map
+                pm = np.asarray(probs[i])
+                if pm.ndim == 3:
+                    pm = pm.max(axis=-1)
+                output_saver.append((case_name, pm))
+            n_cases += 1
     summary = agg.summarize(epoch, mean_train_loss)
     if csv_handler is not None:
         csv_handler.write_epoch(summary)
@@ -144,7 +161,8 @@ def trainer(
         num_classes=int(config.MODEL.NUM_CLASSES),
     )
     valloader = EvalLoader(db_val, img_size=img_size,
-                           num_classes=int(config.MODEL.NUM_CLASSES))
+                           num_classes=int(config.MODEL.NUM_CLASSES),
+                           batch_size=int(config.TPU.EVAL_BATCH))
 
     # ---- model/optimizer state ------------------------------------------
     alpha = float(config.TRAIN.TVERSKY_LOSS_ALPHA)
@@ -187,7 +205,7 @@ def trainer(
         num_classes=num_classes,
     )
     eval_step = make_eval_step(model, alpha, beta, mix,
-                               num_classes=num_classes)
+                               num_classes=num_classes, per_sample=True)
 
     schedule = CosineWarmupSchedule.from_config(config, base_lr)
 

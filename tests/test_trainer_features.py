@@ -189,3 +189,42 @@ def test_trainer_freeze_unfreeze_escalation(synth_root, tmp_path):
     with open(os.path.join(out_dir, "val_metric_all_epoch.csv")) as f:
         rows = list(csv.reader(f))
     assert len(rows) == 4
+
+
+def test_batched_validation_matches_batch1(synth_root, tmp_path):
+    """EVAL_BATCH=2 gives identical epoch metrics to batch-1."""
+    import jax.numpy as jnp
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.dataset import (
+        SegArtifactDataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.pipeline import (
+        EvalLoader,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train import (
+        create_train_state,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.state import (
+        make_eval_step,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        validate,
+    )
+
+    model = _tiny_model()
+    c = _base_config(synth_root, str(tmp_path))
+    state = create_train_state(model, c, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    ev = make_eval_step(model, 0.2, 0.8, 0.45, per_sample=True)
+    lists = os.path.join(synth_root, "lists")
+    ds = SegArtifactDataset(synth_root, lists, "val")
+
+    out1 = validate(ev, state.params, EvalLoader(ds, img_size=32), 1, 0.5)
+    out2 = validate(ev, state.params,
+                    EvalLoader(ds, img_size=32, batch_size=2), 1, 0.5)
+    # (dice, saver, score, fpr, summary)
+    assert abs(out1[0] - out2[0]) < 1e-6
+    assert abs(out1[2] - out2[2]) < 1e-6
+    assert abs(out1[3] - out2[3]) < 1e-6
+    s1, s2 = out1[4], out2[4]
+    assert abs(s1.mean_val_loss - s2.mean_val_loss) < 1e-5
+    assert [n for n, _ in out1[1]] == [n for n, _ in out2[1]]  # order kept
