@@ -98,6 +98,10 @@ def oracle_attention(x, qkv_k, qkv_b, proj_k, proj_b, table, w, s, heads):
         (9, 10, 4, 0),    # padded, no shift (padded tokens attend: parity)
         (3, 3, 4, 2),     # window larger than grid -> shift dropped
         (6, 13, 7, 3),    # reference window size, padded both dims
+        (15, 15, 5, 2),   # window 5, exact grid, shifted
+        (10, 21, 5, 1),   # asymmetric grid, small shift
+        (7, 7, 7, 3),     # single window == grid -> shift dropped
+        (32, 32, 7, 3),   # stage-3-like grid at 1024² (pad 32->35)
     ],
 )
 def test_matches_oracle(h, w0, win, shift):
