@@ -96,3 +96,20 @@ def test_train_cli_rejects_missing_cfg():
         capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode != 0
+
+
+def test_predict_cli(trained_run, tmp_path_factory):
+    """predict.py: label-free inference + exports over the test split."""
+    base, root, out_dir, cfg_path, env, _ = trained_run
+    pred_dir = str(base / "predict_out")
+    proc = subprocess.run(
+        [sys.executable, "predict.py", "--cfg", cfg_path,
+         "--check_point_dir", out_dir, "--out_dir", pred_dir,
+         "--split", "test"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "predicted 3 cases" in proc.stdout
+    files = os.listdir(pred_dir)
+    assert sum(f.endswith("_grey_heats.png") for f in files) == 3
+    assert sum(f.endswith("_bin_mask.png") for f in files) == 3
