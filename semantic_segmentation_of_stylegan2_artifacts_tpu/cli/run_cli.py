@@ -10,12 +10,13 @@ the max of the ``Score`` column in ``val_metric_all_epoch.csv``.
 from __future__ import annotations
 
 import argparse
+import csv
 import logging
 import os
 import subprocess
 import sys
 from pathlib import Path
-import pandas as pd
+from typing import Optional
 
 from ..core.yaml_editor import ConfigParser
 
@@ -23,22 +24,29 @@ CSV_NAME = "val_metric_all_epoch.csv"
 METRIC_COL = "Score"
 
 
-def safe_read_csv(p: Path):
+def best_score_from_csv(path: Path, column: str = METRIC_COL) -> Optional[float]:
+    """Max numeric value of ``column`` in a per-epoch CSV, or None.
+
+    Trial ranking must survive a trial that crashed mid-epoch, so every
+    failure mode degrades to None rather than raising: unreadable file,
+    absent header, short/garbled rows (a partially flushed writer), and
+    non-numeric cells are all skipped.
+    """
+    best: Optional[float] = None
     try:
-        return pd.read_csv(p, on_bad_lines="skip")
-    except Exception as e:  # tolerate partially-written CSVs (ref run.py:36-41)
-        print(f"[WARN] could not read {p}: {e}")
+        with open(path, newline="") as fh:
+            for row in csv.DictReader(fh):
+                cell = (row or {}).get(column)
+                try:
+                    value = float(cell)
+                except (TypeError, ValueError):
+                    continue
+                if value == value and (best is None or value > best):
+                    best = value
+    except OSError as e:
+        print(f"[WARN] could not read {path}: {e}")
         return None
-
-
-def get_best_from_df(df, col_name: str):
-    if df is None or col_name not in df.columns:
-        return None
-    s = pd.to_numeric(df[col_name], errors="coerce")
-    if s.dropna().empty:
-        return None
-    idx = s.idxmax()
-    return {"row_index": idx, "value": float(s.loc[idx])}
+    return best
 
 
 def run_trial(cfg_path: str, out_dir: Path, overrides, python: str,
@@ -52,10 +60,13 @@ def run_trial(cfg_path: str, out_dir: Path, overrides, python: str,
     cmd = [python, train_py, "--cfg", cfg_path]
     print("CMD:", " ".join(cmd))
     subprocess.run(cmd, env=env or os.environ.copy(), check=True)
-    res = get_best_from_df(safe_read_csv(out_dir / CSV_NAME), METRIC_COL)
-    if res is None:
-        raise ValueError("res dictionary is empty")
-    return res["value"]
+    best = best_score_from_csv(out_dir / CSV_NAME)
+    if best is None:
+        raise ValueError(
+            f"trial produced no usable '{METRIC_COL}' column in "
+            f"{out_dir / CSV_NAME}"
+        )
+    return best
 
 
 def main(argv=None):

@@ -113,3 +113,28 @@ def test_predict_cli(trained_run, tmp_path_factory):
     files = os.listdir(pred_dir)
     assert sum(f.endswith("_grey_heats.png") for f in files) == 3
     assert sum(f.endswith("_bin_mask.png") for f in files) == 3
+
+
+def test_best_score_from_csv(tmp_path):
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.cli.run_cli import (
+        best_score_from_csv,
+    )
+
+    p = tmp_path / "val_metric_all_epoch.csv"
+    p.write_text(
+        "epoch,mean_val_loss,Score\n"
+        "1,0.9,-3.2\n"
+        "2,0.8,-1.5\n"
+        "3,0.7\n"            # short row from an interrupted writer
+        "4,0.6,not_a_number\n"
+        "5,0.5,-2.0\n"
+    )
+    assert best_score_from_csv(p) == -1.5
+    # missing column -> None
+    assert best_score_from_csv(p, column="Dice") is None
+    # missing file -> None (tolerated, matches trial-crash semantics)
+    assert best_score_from_csv(tmp_path / "nope.csv") is None
+    # no numeric rows -> None
+    q = tmp_path / "empty.csv"
+    q.write_text("epoch,Score\n")
+    assert best_score_from_csv(q) is None
