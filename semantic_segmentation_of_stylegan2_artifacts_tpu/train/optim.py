@@ -85,6 +85,52 @@ def build_optimizer(
     )
 
 
+def carry_opt_state(old_state, new_state):
+    """Preserve optimizer state across a freeze-set rebuild.
+
+    ``optax.multi_transform`` masks frozen leaves out of the Adam moment
+    trees (``MaskedNode``), so rebuilding after an unfreeze yields fresh
+    zero moments for *every* parameter.  The reference's intended
+    semantics are torch ``add_param_group`` (reference ``trainer.py:
+    252-288``, commented out): existing groups keep their moments and
+    step counts; only the newly added group starts cold.
+
+    This merges leaf-by-leaf by keypath: any leaf addressable in both
+    states (same path, shape, dtype) is taken from ``old_state`` —
+    moments of long-trainable params, step counts, injected
+    hyperparams — while leaves that only exist in ``new_state`` (the
+    newly unfrozen stage's moments, masked out before) keep their fresh
+    zero init.  Handles the wrapper change on full unfreeze, where
+    ``build_optimizer`` returns a bare (non-multi_transform) chain.
+    """
+    from jax import tree_util as jtu
+
+    old_cmp = old_state
+    if hasattr(old_state, "inner_states") and not hasattr(
+        new_state, "inner_states"
+    ):
+        # full unfreeze: the multi_transform wrapper disappears — compare
+        # against the old 'trainable' branch at the same altitude
+        old_cmp = old_state.inner_states["trainable"].inner_state
+
+    old_leaves = {
+        jtu.keystr(path): leaf
+        for path, leaf in jtu.tree_flatten_with_path(old_cmp)[0]
+    }
+
+    def merge(path, leaf):
+        prev = old_leaves.get(jtu.keystr(path))
+        if (
+            prev is not None
+            and getattr(prev, "shape", None) == getattr(leaf, "shape", None)
+            and getattr(prev, "dtype", None) == getattr(leaf, "dtype", None)
+        ):
+            return prev
+        return leaf
+
+    return jtu.tree_map_with_path(merge, new_state)
+
+
 def set_learning_rate(opt_state, lr: float):
     """Return opt_state with the injected learning_rate replaced.
 

@@ -13,9 +13,11 @@ Differences by design (TPU-first):
 * host DataLoader workers -> threaded prefetch of uint8 batches,
 * the encoder-unfreeze scaffolding (commented out in the reference,
   ``trainer.py:252-288``) is implemented functionally here: frozen stages
-  get zero updates via optax.multi_transform, and unfreezing rebuilds the
-  optimizer with fresh moments for the newly trainable stage (the
-  reference's ``add_param_group`` behavior).
+  get zero updates via optax.multi_transform; unfreezing rebuilds the
+  optimizer, carrying the Adam moments and step counts of already-
+  trainable params across the rebuild so only the newly unfrozen stage
+  starts with fresh moments (the reference's ``add_param_group``
+  behavior).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from ..metrics.segmentation import (
 )
 from ..viz.maps import create_bin_heat_mask_from_list
 from .checkpoint import save_best, save_last
-from .optim import build_optimizer
+from .optim import build_optimizer, carry_opt_state
 from .schedule import CosineWarmupSchedule
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
@@ -68,16 +70,22 @@ def validate(
     n_cases = 0
     for batch in valloader:
         probs, loss = eval_step(params, batch["image"], batch["label"])
+        # a pad_to_batch loader repeats the last sample to keep one static
+        # shape; only the leading len(case_name) entries are real cases
         bsz = len(batch["case_name"])
+        arr_b = int(probs.shape[0])
         losses = np.atleast_1d(np.asarray(loss, dtype=np.float64))
-        if losses.shape[0] != bsz:  # batch-mean loss: replicate
+        if losses.shape[0] == arr_b and arr_b >= bsz:
+            losses = losses[:bsz]  # per-sample losses; drop padded tail
+        else:  # batch-mean loss: replicate
             losses = np.full((bsz,), float(losses.mean()))
-        if num_classes <= 1 and bsz > 1:
+        if num_classes <= 1 and arr_b > 1:
             mb = compute_case_metrics_batch_jit(
                 probs, jnp.asarray(batch["label"]), sig_threshold
             )
             mb = {k: np.asarray(v) for k, v in mb.items()}
-            case_ms = [{k: v[i] for k, v in mb.items()} for i in range(bsz)]
+            case_ms = [{k: v[i] for k, v in mb.items()}
+                       for i in range(bsz)]  # padded tail dropped
         else:
             case_ms = []
             for i in range(bsz):
@@ -162,7 +170,8 @@ def trainer(
     )
     valloader = EvalLoader(db_val, img_size=img_size,
                            num_classes=int(config.MODEL.NUM_CLASSES),
-                           batch_size=int(config.TPU.EVAL_BATCH))
+                           batch_size=int(config.TPU.EVAL_BATCH),
+                           pad_to_batch=int(config.TPU.EVAL_BATCH) > 1)
 
     # ---- model/optimizer state ------------------------------------------
     alpha = float(config.TRAIN.TVERSKY_LOSS_ALPHA)
@@ -229,7 +238,12 @@ def trainer(
                 frozen_stages = frozen_stages - {stage}
                 tx = build_optimizer(config, state.params, frozen_stages,
                                      0 in frozen_stages)
-                state = state.replace(tx=tx, opt_state=tx.init(state.params))
+                # add_param_group semantics: moments/step of already-
+                # trainable params survive the rebuild; only the newly
+                # unfrozen stage starts with fresh moments.
+                new_opt = carry_opt_state(state.opt_state,
+                                          tx.init(state.params))
+                state = state.replace(tx=tx, opt_state=new_opt)
                 logger.info(f"Unfroze encoder stage {stage} at epoch {epoch_num}")
                 return state, True
         return state, False

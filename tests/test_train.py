@@ -266,3 +266,99 @@ def test_orbax_checkpoint_roundtrip(tiny_state, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # overwrite works (pre-existing dir removed)
     save_checkpoint_orbax(path, state.params)
+
+
+# ---------------------------------------------------------------------------
+# Unfreeze rebuild preserves Adam moments (add_param_group semantics)
+# ---------------------------------------------------------------------------
+def _adam_moments(opt_state):
+    """Locate the ScaleByAdamState (mu, nu, count) inside any wrapping."""
+    import optax
+
+    found = {}
+
+    def scan(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found[id(node)] = node
+            return
+        if hasattr(node, "inner_states"):
+            scan(node.inner_states["trainable"])
+        elif hasattr(node, "inner_state"):
+            scan(node.inner_state)
+        elif isinstance(node, tuple) and not hasattr(node, "shape"):
+            for item in node:
+                scan(item)
+
+    scan(opt_state)
+    assert len(found) == 1, f"expected one adam state, got {len(found)}"
+    return next(iter(found.values()))
+
+
+def test_unfreeze_carries_adam_moments(tiny_state):
+    import optax
+    from flax import traverse_util
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.optim import (
+        carry_opt_state,
+    )
+
+    model, c, state = tiny_state
+    tx = build_optimizer(c, state.params, {2, 3}, False)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    img = np.random.RandomState(2).randint(0, 255, (2, 32, 32, 3), np.uint8)
+    lbl = (np.random.RandomState(3).rand(2, 32, 32) > 0.8).astype(np.uint8)
+    for _ in range(2):
+        state, _ = step(state, jnp.asarray(img), jnp.asarray(lbl),
+                        jnp.asarray(1e-3))
+
+    def flat_mu(opt_state):
+        adam = _adam_moments(opt_state)
+        return traverse_util.flatten_dict(adam.mu), adam
+
+    old_mu, old_adam = flat_mu(state.opt_state)
+    assert int(old_adam.count) == 2
+
+    # ---- stage-3 unfreeze: {2,3} -> {2} --------------------------------
+    tx2 = build_optimizer(c, state.params, {2}, False)
+    carried = carry_opt_state(state.opt_state, tx2.init(state.params))
+    new_mu, new_adam = flat_mu(carried)
+    assert int(new_adam.count) == 2  # step count survives
+
+    for k, v in new_mu.items():
+        path = "/".join(k)
+        top = k[1] if len(k) > 1 else ""
+        if isinstance(v, optax.MaskedNode):
+            assert top == "layers_2", f"unexpected masked leaf: {path}"
+            continue
+        if top == "layers_3":
+            # newly unfrozen: fresh zero moments (was MaskedNode before)
+            assert isinstance(old_mu[k], optax.MaskedNode)
+            assert float(jnp.abs(v).max()) == 0.0, path
+        elif not isinstance(old_mu[k], optax.MaskedNode):
+            # long-trainable params: bit-identical moments
+            assert np.array_equal(np.asarray(v), np.asarray(old_mu[k])), path
+
+    # a decoder moment must actually be nonzero for the test to mean much
+    nonzero = [k for k, v in new_mu.items()
+               if not isinstance(v, optax.MaskedNode)
+               and float(jnp.abs(v).max()) > 0]
+    assert nonzero
+
+    # ---- full unfreeze: {2} -> {} (wrapper disappears) ------------------
+    state2 = state.replace(tx=tx2, opt_state=carried)
+    state2, _ = step(state2, jnp.asarray(img), jnp.asarray(lbl),
+                     jnp.asarray(1e-3))
+    mid_mu, mid_adam = flat_mu(state2.opt_state)
+    tx3 = build_optimizer(c, state2.params, set(), False)
+    carried3 = carry_opt_state(state2.opt_state, tx3.init(state2.params))
+    fin_mu, fin_adam = flat_mu(carried3)
+    assert int(fin_adam.count) == int(mid_adam.count)
+    for k, v in fin_mu.items():
+        if not isinstance(mid_mu[k], optax.MaskedNode):
+            assert np.array_equal(np.asarray(v), np.asarray(mid_mu[k]))
+    # and the carried state still drives a working step
+    state3 = state2.replace(tx=tx3, opt_state=carried3)
+    _, loss = step(state3, jnp.asarray(img), jnp.asarray(lbl),
+                   jnp.asarray(1e-3))
+    assert np.isfinite(float(loss))
