@@ -170,13 +170,19 @@ class EvalLoader:
 
     ``batch_size=1`` reproduces the reference's per-case evaluation loop
     exactly; larger batches amortize dispatch (per-case metrics stay
-    exact via the vmapped metric kernel).  The last batch may be smaller
-    (one extra jit specialization).
+    exact via the vmapped metric kernel).
+
+    ``pad_to_batch=True`` pads a short trailing batch to ``batch_size``
+    by repeating its last sample, so every batch has ONE static shape
+    and XLA compiles the eval step exactly once per run (each extra
+    shape costs 1-3 min over the TPU relay, CLAUDE.md).  Padded entries
+    carry no ``case_name`` — ``len(batch['case_name'])`` is the count of
+    valid leading samples, and consumers must ignore the tail.
     """
 
     def __init__(self, ds, img_size: int, num_workers: int = 2,
                  prefetch_depth: int = 2, num_classes: int = 1,
-                 batch_size: int = 1):
+                 batch_size: int = 1, pad_to_batch: bool = False):
         self.ds = ds
         self.transform = RandomGenerator(
             output_size=[img_size, img_size], random_flip_flag=False,
@@ -185,6 +191,7 @@ class EvalLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)
         self.batch_size = max(1, batch_size)
+        self.pad_to_batch = pad_to_batch
 
     def __len__(self) -> int:
         return len(self.ds)
@@ -195,7 +202,15 @@ class EvalLoader:
         chunks = [list(range(i, min(i + bs, n))) for i in range(0, n, bs)]
 
         def fetch(chunk) -> Dict:
-            return _stack_batch([self.transform(self.ds[i]) for i in chunk])
+            batch = _stack_batch([self.transform(self.ds[i]) for i in chunk])
+            pad = bs - len(chunk)
+            if self.pad_to_batch and pad > 0:
+                for key in batch:
+                    if key == "case_name":
+                        continue  # names stay valid-only: len == n valid
+                    tail = np.repeat(batch[key][-1:], pad, axis=0)
+                    batch[key] = np.concatenate([batch[key], tail])
+            return batch
 
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending = []

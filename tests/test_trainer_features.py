@@ -228,3 +228,23 @@ def test_batched_validation_matches_batch1(synth_root, tmp_path):
     s1, s2 = out1[4], out2[4]
     assert abs(s1.mean_val_loss - s2.mean_val_loss) < 1e-5
     assert [n for n, _ in out1[1]] == [n for n, _ in out2[1]]  # order kept
+
+    # ---- pad_to_batch: one static shape, identical metrics --------------
+    pad_bs = 4
+    assert len(ds) % pad_bs != 0, "need a ragged tail to exercise padding"
+    padded = EvalLoader(ds, img_size=32, batch_size=pad_bs, pad_to_batch=True)
+    shapes, n_names = set(), 0
+    for b in padded:
+        shapes.add(b["image"].shape)
+        assert b["image"].shape[0] == pad_bs
+        assert b["label"].shape[0] == pad_bs
+        n_names += len(b["case_name"])
+    assert len(shapes) == 1  # a single compiled eval shape per run
+    assert n_names == len(ds)  # padding carries no case names
+
+    out3 = validate(ev, state.params, padded, 1, 0.5)
+    assert abs(out1[0] - out3[0]) < 1e-6
+    assert abs(out1[2] - out3[2]) < 1e-6
+    assert abs(out1[3] - out3[3]) < 1e-6
+    assert abs(out1[4].mean_val_loss - out3[4].mean_val_loss) < 1e-5
+    assert [n for n, _ in out1[1]] == [n for n, _ in out3[1]]
