@@ -188,19 +188,58 @@ def trainer(
             state = state.replace(
                 tx=tx, opt_state=tx.init(state.params)
             )
+    # ---- unfreeze schedule (reference trainer.py:171-175) ---------------
+    stage_unfreeze_epoch = {
+        3: int(max_epoch * config.MODEL.STAGE3_UNFREEZE_PERIODE),
+        2: int(max_epoch * config.MODEL.STAGE2_UNFREEZE_PERIODE),
+        1: int(max_epoch * config.MODEL.STAGE1_UNFREEZE_PERIODE),
+        0: int(max_epoch * config.MODEL.STAGE0_UNFREEZE_PERIODE),
+    }
+
     start_epoch = int(config.TRAIN.START_EPOCH)
     if resume_from:
+        from flax import serialization as _ser
+
         from .checkpoint import restore_checkpoint
 
-        payload = restore_checkpoint(
-            resume_from,
-            target={"epoch": 0, "model": state.params,
-                    "optimizer": state.opt_state, "iter_num": 0,
-                    "dice": 0.0},
-        )
-        state = state.replace(params=payload["model"],
-                              opt_state=payload["optimizer"])
-        start_epoch = int(payload["epoch"]) + 1
+        raw = restore_checkpoint(resume_from)  # structure-free msgpack read
+        start_epoch = int(raw["epoch"]) + 1
+        if freeze_encoder:
+            # Replay the scheduled unfreezes up to the resume epoch (one
+            # stage per epoch, deepest first — mirrors maybe_unfreeze) so
+            # the optimizer target matches the checkpoint's structure.
+            # Early-stop-FORCED unfreezes can't be replayed; the params-
+            # only fallback below covers that divergence.
+            for e in range(start_epoch):
+                for stage in (3, 2, 1, 0):
+                    if stage in frozen_stages and e >= stage_unfreeze_epoch[stage]:
+                        frozen_stages = frozen_stages - {stage}
+                        break
+            tx = build_optimizer(config, state.params, frozen_stages,
+                                 0 in frozen_stages)
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        try:
+            payload = restore_checkpoint(
+                resume_from,
+                target={"epoch": 0, "model": state.params,
+                        "optimizer": state.opt_state, "iter_num": 0,
+                        "dice": 0.0},
+            )
+            # step is restored too: the train step folds state.step into
+            # the dropout key, so resumed stochastic-depth noise continues
+            # the sequence instead of replaying it from 0
+            state = state.replace(params=payload["model"],
+                                  opt_state=payload["optimizer"],
+                                  step=int(payload["iter_num"]))
+        except (AttributeError, KeyError, TypeError, ValueError):
+            logger.warning(
+                f"Optimizer state in {resume_from} does not match the "
+                f"rebuilt structure (e.g. an early-stop-forced unfreeze "
+                f"before the save); restoring params only, fresh moments."
+            )
+            params = _ser.from_state_dict(state.params, raw["model"])
+            state = state.replace(params=params,
+                                  step=int(raw.get("iter_num", 0)))
         logger.info(f"Resumed from {resume_from} at epoch {start_epoch}")
 
     if mesh is not None:
@@ -217,14 +256,6 @@ def trainer(
                                num_classes=num_classes, per_sample=True)
 
     schedule = CosineWarmupSchedule.from_config(config, base_lr)
-
-    # ---- unfreeze schedule (reference trainer.py:171-175) ---------------
-    stage_unfreeze_epoch = {
-        3: int(max_epoch * config.MODEL.STAGE3_UNFREEZE_PERIODE),
-        2: int(max_epoch * config.MODEL.STAGE2_UNFREEZE_PERIODE),
-        1: int(max_epoch * config.MODEL.STAGE1_UNFREEZE_PERIODE),
-        0: int(max_epoch * config.MODEL.STAGE0_UNFREEZE_PERIODE),
-    }
 
     def maybe_unfreeze(state, epoch_num, force_next: bool):
         """Staged unfreeze deepest-first; returns (state, acted)."""

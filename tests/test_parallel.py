@@ -131,3 +131,125 @@ def test_graft_dryrun_hybrid():
 
     g.dryrun_multichip(8)  # even -> dp4 x tp2 path
     g.dryrun_multichip(3)  # odd -> pure dp
+
+
+def test_dp_tp_with_grad_accum(tiny):
+    """4x2 dp x tp mesh + 2-step gradient accumulation == single device."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.parallel import (
+        shard_state_tp,
+    )
+
+    model, c, state = tiny
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False,
+                           accumulation_steps=2)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(8, 32, 32) > 0.8).astype(np.uint8)
+
+    s1, loss1 = step(state, jnp.asarray(img), jnp.asarray(lbl),
+                     jnp.asarray(1e-3))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = shard_state_tp(state, mesh)
+    batch = shard_batch({"image": img, "label": lbl}, mesh)
+    s2, loss2 = step(state_tp, batch["image"], batch["label"],
+                     jnp.asarray(1e-3))
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
+                               atol=1e-5)
+
+
+def test_unfreeze_rebuild_on_sharded_state(tiny):
+    """Optimizer rebuild (staged unfreeze) while params are mesh-sharded."""
+    import optax
+    from flax import traverse_util
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.optim import (
+        build_optimizer,
+        carry_opt_state,
+    )
+
+    model, c, state = tiny
+    mesh = make_mesh()
+    tx = build_optimizer(c, state.params, {2, 3}, False)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state = replicate_state(state, mesh)
+
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(8, 32, 32) > 0.8).astype(np.uint8)
+    batch = shard_batch({"image": img, "label": lbl}, mesh)
+    state, loss = step(state, batch["image"], batch["label"],
+                       jnp.asarray(1e-3))
+    assert np.isfinite(float(loss))
+
+    def trainable_mu(opt_state):
+        return traverse_util.flatten_dict(
+            opt_state.inner_states["trainable"].inner_state
+            .inner_state[0].mu
+        )
+
+    old_mu = trainable_mu(state.opt_state)
+
+    # rebuild on the sharded state: {2,3} -> {3} stays sharded + carried
+    tx2 = build_optimizer(c, state.params, {3}, False)
+    carried = carry_opt_state(state.opt_state, tx2.init(state.params))
+    state = state.replace(tx=tx2, opt_state=carried)
+    new_mu = trainable_mu(state.opt_state)
+    for k, v in old_mu.items():
+        if not isinstance(v, optax.MaskedNode):
+            assert not isinstance(new_mu[k], optax.MaskedNode)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(new_mu[k]))
+
+    state, loss2 = step(state, batch["image"], batch["label"],
+                        jnp.asarray(1e-3))
+    assert np.isfinite(float(loss2))
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_resume_checkpoint_onto_mesh(tiny, tmp_path):
+    """Save on one device, restore, replicate onto the mesh, keep training."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, c, state = tiny
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(8, 32, 32) > 0.8).astype(np.uint8)
+
+    s1, _ = step(state, jnp.asarray(img), jnp.asarray(lbl), jnp.asarray(1e-3))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, {"epoch": 0, "model": s1.params,
+                           "optimizer": s1.opt_state, "iter_num": 1,
+                           "dice": 0.5})
+    payload = restore_checkpoint(
+        path, target={"epoch": 0, "model": state.params,
+                      "optimizer": state.opt_state, "iter_num": 0,
+                      "dice": 0.0})
+    # restore the step counter too: the train step folds state.step into
+    # the dropout key, so stochastic-depth noise must line up
+    resumed = state.replace(params=payload["model"],
+                            opt_state=payload["optimizer"],
+                            step=int(payload["iter_num"]))
+
+    mesh = make_mesh()
+    resumed = replicate_state(resumed, mesh)
+    batch = shard_batch({"image": img, "label": lbl}, mesh)
+    s_mesh, loss_mesh = step(resumed, batch["image"], batch["label"],
+                             jnp.asarray(1e-3))
+
+    # reference run without the checkpoint round trip
+    s_direct, loss_direct = step(s1, jnp.asarray(img), jnp.asarray(lbl),
+                                 jnp.asarray(1e-3))
+    assert abs(float(loss_mesh) - float(loss_direct)) < 1e-5
+    a = jax.tree.leaves(s_direct.params)[0]
+    b = jax.tree.leaves(s_mesh.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
+                               atol=1e-5)

@@ -248,3 +248,51 @@ def test_batched_validation_matches_batch1(synth_root, tmp_path):
     assert abs(out1[3] - out3[3]) < 1e-6
     assert abs(out1[4].mean_val_loss - out3[4].mean_val_loss) < 1e-5
     assert [n for n, _ in out1[1]] == [n for n, _ in out3[1]]
+
+
+def test_trainer_resume_after_staged_unfreeze(synth_root, tmp_path):
+    """Resume a FREEZE_ENCODER run whose checkpoint has a partially
+    unfrozen multi_transform optimizer: the unfreeze schedule is replayed
+    before restore so the optimizer structure matches (full state carried,
+    no params-only fallback warning)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    out1 = str(tmp_path / "phase1")
+    c = _base_config(synth_root, out1)
+    c.TRAIN.MAX_EPOCHS = 4
+    c.MODEL.FREEZE_ENCODER = True
+    c.MODEL.STAGE3_UNFREEZE_PERIODE = 0.0   # unfreeze stage 3 at epoch 0
+    c.MODEL.STAGE2_UNFREEZE_PERIODE = 0.25  # stage 2 at epoch 1
+    c.MODEL.STAGE1_UNFREEZE_PERIODE = 2.0
+    c.MODEL.STAGE0_UNFREEZE_PERIODE = 2.0
+    c.SAVE_LAST_RUN = True
+    c.TRAIN.MAX_EPOCHS = 2
+    c.freeze()
+    trainer(_tiny_model(), logging.getLogger("ru1"), None, out1, c)
+    ckpt = os.path.join(out1, "epoch_1.msgpack")
+    assert os.path.exists(ckpt)
+
+    out2 = str(tmp_path / "phase2")
+    c2 = c.clone()
+    c2.defrost()
+    c2.OUTPUT_DIR = out2
+    c2.TRAIN.MAX_EPOCHS = 4
+    c2.freeze()
+    log = logging.getLogger("ru2")
+    log.setLevel(logging.INFO)
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    log.addHandler(Grab())
+    trainer(_tiny_model(), log, None, out2, c2, resume_from=ckpt)
+    assert any("Resumed from" in m for m in records)
+    # full optimizer restore succeeded -> no params-only fallback
+    assert not any("params only" in m for m in records)
+    with open(os.path.join(out2, "val_metric_all_epoch.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[1][0] == "3"  # resumed at epoch 2 (0-indexed) -> logs 3..4
