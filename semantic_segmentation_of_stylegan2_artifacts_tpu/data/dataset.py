@@ -21,6 +21,28 @@ from typing import Dict, List
 import numpy as np
 from PIL import Image
 
+from .. import native
+
+
+def load_rgb(path: str) -> np.ndarray:
+    """(H, W, 3) uint8; native GIL-released decoder when available."""
+    if native.available():
+        try:
+            return native.decode_image(path)
+        except ValueError:
+            pass  # unusual encoding: PIL handles the long tail
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def load_gray(path: str) -> np.ndarray:
+    """(H, W) uint8 luma with PIL convert("L") rounding semantics."""
+    if native.available():
+        try:
+            return native.decode_image(path, gray=True)
+        except ValueError:
+            pass
+    return np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
+
 
 def read_split_list(list_dir: str, split: str) -> List[str]:
     path = os.path.join(list_dir, split + ".txt")
@@ -66,8 +88,8 @@ class SegArtifactDataset:
     def __getitem__(self, idx: int) -> Dict:
         name = self.sample_list[idx]
         img_path, lbl_path = self._resolve(name)
-        image = np.asarray(Image.open(img_path).convert("RGB"), dtype=np.uint8)
-        label = np.asarray(Image.open(lbl_path).convert("L"), dtype=np.uint8)
+        image = load_rgb(img_path)
+        label = load_gray(lbl_path)
         sample = {"image": image, "label": label, "case_name": name}
         if self.transform is not None:
             sample = self.transform(sample)
@@ -93,7 +115,7 @@ class SegArtifactNoLabelDataset:
         for sub in ("real_images", "fake_images"):
             p = os.path.join(self.data_dir, sub, name + ".png")
             if os.path.exists(p):
-                image = np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+                image = load_rgb(p)
                 sample = {"image": image, "case_name": name}
                 if self.transform is not None:
                     sample = self.transform(sample)
