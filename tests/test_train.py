@@ -362,3 +362,44 @@ def test_unfreeze_carries_adam_moments(tiny_state):
     _, loss = step(state3, jnp.asarray(img), jnp.asarray(lbl),
                    jnp.asarray(1e-3))
     assert np.isfinite(float(loss))
+
+
+def test_set_learning_rate_behavioral_pin(tiny_state):
+    """set_learning_rate reaches into optax internals (inject_hyperparams
+    state, multi_transform inner_states) — this pins the BEHAVIOR so an
+    optax upgrade that moves those internals fails loudly here: the lr
+    passed to the train step must scale the actual applied update."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.optim import (
+        current_learning_rate,
+    )
+
+    model, c, state = tiny_state
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    img = np.random.RandomState(20).randint(0, 255, (2, 32, 32, 3), np.uint8)
+    lbl = (np.random.RandomState(21).rand(2, 32, 32) > 0.8).astype(np.uint8)
+
+    def update_norm(lr):
+        s2, _ = step(state, jnp.asarray(img), jnp.asarray(lbl),
+                     jnp.asarray(lr, jnp.float32))
+        deltas = jax.tree.map(lambda a, b: np.asarray(b - a), state.params,
+                              s2.params)
+        return float(np.sqrt(sum(float((d ** 2).sum())
+                                 for d in jax.tree.leaves(deltas)))), s2
+
+    n_small, _ = update_norm(1e-5)
+    n_big, s_big = update_norm(1e-3)
+    # Adam updates scale ~linearly with lr (same grads, same moments)
+    assert n_big > n_small * 50, (n_big, n_small)
+    # the injected lr is readable back from the state the step produced
+    assert abs(current_learning_rate(s_big.opt_state) - 1e-3) < 1e-9
+
+    # zero lr -> bit-identical params
+    n_zero, _ = update_norm(0.0)
+    assert n_zero == 0.0
+
+    # and the multi_transform-wrapped variant behaves the same
+    tx = build_optimizer(c, state.params, {3}, False)
+    state_f = state.replace(tx=tx, opt_state=tx.init(state.params))
+    s3, _ = step(state_f, jnp.asarray(img), jnp.asarray(lbl),
+                 jnp.asarray(1e-3, jnp.float32))
+    assert abs(current_learning_rate(s3.opt_state) - 1e-3) < 1e-9
