@@ -32,6 +32,9 @@ import numpy as np
 # makes vs_baseline = measured / REFERENCE_GPU_IPS, target >= 5.
 REFERENCE_GPU_IPS = 25.0
 
+# TPU v5e (v5 lite) bf16 peak, for the MFU line: 197 TFLOP/s per chip.
+PEAK_BF16_FLOPS = 197e12
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -43,6 +46,13 @@ def main():
                     help="small model/size for smoke runs")
     ap.add_argument("--remat", action="store_true",
                     help="enable full rematerialisation")
+    ap.add_argument("--remat_mode", default="",
+                    choices=["", "none", "full", "dots", "high_res",
+                             "high_res_dots"],
+                    help="rematerialisation policy sweep knob; default: "
+                         "none below 1024^2, dots at 1024^2+")
+    ap.add_argument("--window_group", type=int, default=0,
+                    help="windows per attention matmul (0 = auto)")
     ap.add_argument("--softmax_f32", action="store_true",
                     help="keep fp32 attention softmax (parity mode); the "
                          "default benchmarks the bf16-softmax deployment "
@@ -73,12 +83,23 @@ def main():
         steps, warmup = 5, 2
     else:
         # 1024² needs remat to fit; use the dots policy there by default
-        use_remat = args.remat or args.img >= 1024
-        policy = "dots" if (args.img >= 1024 and not args.remat) else ""
+        mode = args.remat_mode
+        if not mode:
+            if args.remat:
+                mode = "full"
+            elif args.img >= 1024:
+                mode = "dots"
+            else:
+                mode = "none"
+        use_remat = mode in ("full", "dots")
+        policy = "dots" if mode in ("dots", "high_res_dots") else ""
+        high_res = mode in ("high_res", "high_res_dots")
         model = MSUNet(img_size=args.img, embed_dim=128,
                        depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
                        window_size=7, dtype=jnp.bfloat16,
                        use_remat=use_remat, remat_policy=policy,
+                       remat_high_res=high_res,
+                       window_group=args.window_group,
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch
@@ -134,6 +155,25 @@ def main():
 
     step = make_train_step(model, 0.2, 0.8, 0.45, donate=True)
 
+    # FLOPs of the compiled step (for the MFU line); tolerate backends
+    # where AOT cost analysis is unavailable (e.g. the axon relay).  The
+    # AOT executable replaces the jitted callable so the step compiles
+    # exactly once.
+    flops_per_step = None
+    try:
+        compiled = step.lower(state, image, label, lr).compile()
+        step = compiled
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            f = float(cost.get("flops", 0.0))
+            flops_per_step = f if f > 0 else None
+        except Exception as e:  # noqa: BLE001
+            print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"AOT compile unavailable: {e!r}", file=sys.stderr)
+
     t0 = time.time()
     for _ in range(warmup):
         state, loss = step(state, image, label, lr)
@@ -155,6 +195,9 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REFERENCE_GPU_IPS, 3),
     }
+    if flops_per_step is not None:
+        result["mfu"] = round(flops_per_step * steps / dt / PEAK_BF16_FLOPS, 4)
+        result["tflops_per_img"] = round(flops_per_step / batch / 1e12, 3)
     print(json.dumps(result))
 
 

@@ -231,6 +231,7 @@ def default_config() -> CfgNode:
     c.TPU.COMPUTE_DTYPE = "bfloat16"  # bfloat16 | float32
     c.TPU.SOFTMAX_DTYPE = "float32"  # float32 (parity) | bfloat16 (+~4% speed)
     c.TPU.USE_PALLAS_ATTENTION = False
+    c.TPU.ATTN_WINDOW_GROUP = 0  # 0 => auto; 1 => per-window matmuls; n => n windows/matmul
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2

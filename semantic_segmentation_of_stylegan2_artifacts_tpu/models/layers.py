@@ -127,6 +127,7 @@ class WindowAttention(nn.Module):
     dropout: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    window_group: int = 0  # 0 => auto (pick_window_group)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -178,6 +179,7 @@ class WindowAttention(nn.Module):
             dropout_rng=rng,
             deterministic=deterministic,
             softmax_dtype=self.softmax_dtype,
+            window_group=(self.window_group or None),
         )
 
 
@@ -197,6 +199,7 @@ class SwinBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    window_group: int = 0
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -213,6 +216,7 @@ class SwinBlock(nn.Module):
             dropout=self.dropout,
             qkv_bias=self.qkv_bias,
             use_pallas=self.use_pallas,
+            window_group=self.window_group,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="attn",
@@ -391,6 +395,7 @@ class BasicLayer(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    window_group: int = 0
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -410,6 +415,7 @@ class BasicLayer(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                window_group=self.window_group,
                 softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
@@ -448,6 +454,7 @@ class BasicLayerUp(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    window_group: int = 0
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -467,6 +474,7 @@ class BasicLayerUp(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                window_group=self.window_group,
                 softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",

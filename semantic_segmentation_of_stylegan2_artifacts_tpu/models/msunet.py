@@ -75,6 +75,7 @@ class MSUNetSys(nn.Module):
     remat_high_res: bool = False  # remat only blocks with dim <= 256
     remat_policy: str = ""  # "" (full) | "dots" (save matmuls, recompute rest)
     use_pallas: bool = False
+    window_group: int = 0  # windows per attention matmul (0 => auto)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -93,6 +94,7 @@ class MSUNetSys(nn.Module):
             attn_drop=self.attn_drop_rate,
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
+            window_group=self.window_group,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
         )
@@ -303,6 +305,7 @@ class MSUNet(nn.Module):
     remat_high_res: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    window_group: int = 0  # windows per attention matmul (0 => auto)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -347,6 +350,7 @@ class MSUNet(nn.Module):
             remat_high_res=remat_high,
             remat_policy=remat_policy,
             use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
+            window_group=int(getattr(config.TPU, "ATTN_WINDOW_GROUP", 0)),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
                            else jnp.float32),
@@ -373,6 +377,7 @@ class MSUNet(nn.Module):
             remat_high_res=self.remat_high_res,
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
+            window_group=self.window_group,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="msunet",

@@ -101,6 +101,101 @@ def window_reverse(x: jax.Array, h: int, w: int, wh: int, ww: int) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
+# Window grouping (TPU batched-matmul efficiency)
+# --------------------------------------------------------------------------
+def pick_window_group(n_win: int) -> int:
+    """Default windows-per-group for :func:`shifted_window_attention`.
+
+    Grouping ``G`` windows along the sequence axis turns ``G`` tiny
+    attention-matmul instances into one ``(G*49, ...)`` matmul with
+    cross-window pairs masked additively.  Measured on v5e (r2 sweep,
+    G in {1,4,5,7,8,16} at every 512^2 stage shape): grouping LOSES —
+    the score matrix grows G-fold in HBM and the op is bandwidth-bound
+    there, so G=1 is fastest at every shape.  Auto therefore means
+    "no grouping"; the knob (``TPU.ATTN_WINDOW_GROUP``) remains for
+    hardware where instance overhead dominates instead.
+    """
+    del n_win
+    return 1
+
+
+def _grouped_attention(
+    q: jax.Array,  # (B, nWp, N, H, hd) scaled queries
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,  # (H, N, N)
+    shift_mask: Optional[np.ndarray],  # (nW, N, N) or None
+    *,
+    group: int,
+    n_win: int,  # real window count (nWp = padded, multiple of group)
+    softmax_dtype: jnp.dtype,
+    attention_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Window-grouped attention core; returns ctx ``(B, nWp, N, H, hd)``.
+
+    Exact on real-window token pairs: cross-window and dummy-window
+    logits get additive ``-100`` (the same masking constant torchvision
+    uses for its shifted windows), so their softmax weight underflows to
+    ~0 exactly as the reference's own masked pairs do.
+    """
+    b, nwp, n, h, hd = q.shape
+    g = group
+    s = nwp // g
+
+    def to_super(t):  # (B, nWp, N, H, hd) -> (B, S, H, G*N, hd)
+        t = t.reshape(b, s, g * n, h, hd)
+        return t.transpose(0, 1, 3, 2, 4)
+
+    qg, kg, vg = to_super(q), to_super(k), to_super(v)
+    attn = jnp.einsum(
+        "bshnd,bshmd->bshnm", qg, kg, preferred_element_type=softmax_dtype
+    ).astype(softmax_dtype)
+    # view as (B, S, H, G, N, G', N') — contiguous reshape, free
+    attn = attn.reshape(b, s, h, g, n, g, n)
+
+    # within-window relative-position bias, broadcast over (g, g') blocks;
+    # off-diagonal blocks are masked below so the broadcast is harmless
+    attn = attn + rel_bias[None, None, :, None, :, None, :].astype(softmax_dtype)
+
+    # block-diagonal mask: -100 between different windows of a group
+    eye = np.eye(g, dtype=np.float32)
+    bd = ((1.0 - eye) * -100.0).reshape(1, 1, 1, g, 1, g, 1)
+    attn = attn + jnp.asarray(bd, softmax_dtype)
+
+    # per-window shift mask (broadcast over the key-side g' axis: only the
+    # g==g' block survives the block-diagonal mask anyway)
+    if shift_mask is not None:
+        sm = np.zeros((nwp, n, n), np.float32)
+        sm[:n_win] = shift_mask
+        sm = sm.reshape(1, s, 1, g, n, 1, n)
+        attn = attn + jnp.asarray(sm, softmax_dtype)
+
+    # dummy-window keys (window index >= n_win) masked for every query
+    if nwp != n_win:
+        col = np.zeros((nwp, 1, n), np.float32)
+        col[n_win:] = -100.0
+        col = col.reshape(1, s, 1, 1, 1, g, n)
+        attn = attn + jnp.asarray(col, softmax_dtype)
+
+    attn = attn.reshape(b, s, h, g * n, g * n)
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    if not deterministic and attention_dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for attention dropout")
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - attention_dropout, attn.shape
+        )
+        attn = jnp.where(keep, attn / (1.0 - attention_dropout), 0.0)
+
+    ctx = jnp.einsum("bshnm,bshmd->bshnd", attn.astype(vg.dtype), vg)
+    ctx = ctx.transpose(0, 1, 3, 2, 4).reshape(b, nwp, n, h, hd)
+    return ctx
+
+
+# --------------------------------------------------------------------------
 # The attention op
 # --------------------------------------------------------------------------
 def shifted_window_attention(
@@ -119,6 +214,7 @@ def shifted_window_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     softmax_dtype: jnp.dtype = jnp.float32,
+    window_group: Optional[int] = None,
 ) -> jax.Array:
     """Shifted-window multi-head self attention on an NHWC feature map.
 
@@ -131,6 +227,11 @@ def shifted_window_attention(
       bias_table: ``((2wh-1)(2ww-1), heads)`` relative position bias table.
       window_size / shift_size: static ints per block.
       deterministic: disables both dropouts when True.
+      window_group: windows fused per attention matmul instance
+        (None = auto via :func:`pick_window_group`; 1 = one matmul
+        instance per window, the layout torchvision uses).  Grouping
+        changes only masked (cross-window) logits, which underflow to
+        zero weight — real-pair numerics are unchanged.
 
     Returns ``(B, H, W, C)``.
     """
@@ -163,34 +264,62 @@ def shifted_window_attention(
     if qkv_bias is not None:
         qkv = qkv + qkv_bias.astype(qkv.dtype)
     qkv = qkv.reshape(b, n_win, n_tok, 3, num_heads, head_dim)
-    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-    # -> (B, nW, heads, N, head_dim)
-    q = q.transpose(0, 1, 3, 2, 4) * (head_dim**-0.5)
-    k = k.transpose(0, 1, 3, 2, 4)
-    v = v.transpose(0, 1, 3, 2, 4)
-
-    attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k).astype(softmax_dtype)
 
     rel_idx = relative_position_index(wh, ww)  # static numpy (N, N)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n_tok, n_tok, num_heads)
-    rel_bias = rel_bias.transpose(2, 0, 1).astype(softmax_dtype)  # heads,N,N
-    attn = attn + rel_bias[None, None]
+    rel_bias = rel_bias.transpose(2, 0, 1)  # heads, N, N
+    mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw) if shifted else None
 
-    if shifted:
-        mask = jnp.asarray(shifted_window_mask(hp, wp, wh, ww, sh, sw))
-        attn = attn + mask[None, :, None].astype(softmax_dtype)
+    group = window_group if window_group is not None else pick_window_group(n_win)
+    group = max(1, min(group, n_win))
 
-    attn = jax.nn.softmax(attn, axis=-1)
-
+    attn_rng = None
     if not deterministic and attention_dropout > 0.0:
         if dropout_rng is None:
             raise ValueError("dropout_rng required for attention dropout")
-        dropout_rng, sub = jax.random.split(dropout_rng)
-        keep = jax.random.bernoulli(sub, 1.0 - attention_dropout, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - attention_dropout), 0.0)
+        dropout_rng, attn_rng = jax.random.split(dropout_rng)
 
-    out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v)
-    out = out.transpose(0, 1, 3, 2, 4).reshape(b, n_win, n_tok, c)
+    if group > 1:
+        q = qkv[..., 0, :, :] * (head_dim**-0.5)  # (B, nW, N, H, hd)
+        k = qkv[..., 1, :, :]
+        v = qkv[..., 2, :, :]
+        pad_win = -n_win % group
+        if pad_win:
+            wpad = ((0, 0), (0, pad_win), (0, 0), (0, 0), (0, 0))
+            q, k, v = jnp.pad(q, wpad), jnp.pad(k, wpad), jnp.pad(v, wpad)
+        ctx = _grouped_attention(
+            q, k, v, rel_bias, mask_np,
+            group=group, n_win=n_win, softmax_dtype=softmax_dtype,
+            attention_dropout=attention_dropout, dropout_rng=attn_rng,
+            deterministic=deterministic,
+        )
+        if pad_win:
+            ctx = ctx[:, :n_win]
+        out = ctx.reshape(b, n_win, n_tok, c)
+    else:
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # -> (B, nW, heads, N, head_dim)
+        q = q.transpose(0, 1, 3, 2, 4) * (head_dim**-0.5)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+
+        attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k).astype(softmax_dtype)
+        attn = attn + rel_bias[None, None].astype(softmax_dtype)
+
+        if shifted:
+            mask = jnp.asarray(mask_np)
+            attn = attn + mask[None, :, None].astype(softmax_dtype)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        if attn_rng is not None:
+            keep = jax.random.bernoulli(
+                attn_rng, 1.0 - attention_dropout, attn.shape
+            )
+            attn = jnp.where(keep, attn / (1.0 - attention_dropout), 0.0)
+
+        out = jnp.einsum("bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, n_win, n_tok, c)
     out = jnp.einsum("bwnc,cd->bwnd", out, proj_kernel.astype(out.dtype))
     if proj_bias is not None:
         out = out + proj_bias.astype(out.dtype)

@@ -179,3 +179,57 @@ def test_gradients_flow():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("grid,shift", [((16, 16), 0), ((16, 16), 3),
+                                        ((19, 19), 3), ((10, 12), 3),
+                                        ((7, 7), 3)])
+@pytest.mark.parametrize("group", [2, 4, 8])
+def test_window_grouping_matches_ungrouped(grid, shift, group):
+    """TPU.ATTN_WINDOW_GROUP fuses windows per matmul instance; real
+    token-pair numerics must match the per-window layout exactly (the
+    cross-window -100 masking mirrors torchvision's own shifted-window
+    masking constant)."""
+    h, w = grid
+    c, heads = 32, 4
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, h, w, c))
+    args = [
+        jax.random.normal(ks[1], (c, 3 * c)) * 0.1,
+        jax.random.normal(ks[2], (3 * c,)) * 0.1,
+        jax.random.normal(ks[3], (c, c)) * 0.1,
+        jax.random.normal(ks[4], (c,)) * 0.1,
+        jax.random.normal(ks[5], (169, heads)) * 0.1,
+    ]
+    kw = dict(window_size=(7, 7), shift_size=(shift, shift), num_heads=heads)
+    ref = shifted_window_attention(x, *args, window_group=1, **kw)
+    out = shifted_window_attention(x, *args, window_group=group, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_window_group_gradients_flow():
+    c, heads = 32, 4
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (1, 16, 16, c))
+    args = [
+        jax.random.normal(ks[1], (c, 3 * c)) * 0.1,
+        jax.random.normal(ks[2], (3 * c,)) * 0.1,
+        jax.random.normal(ks[3], (c, c)) * 0.1,
+        jax.random.normal(ks[4], (c,)) * 0.1,
+        jax.random.normal(ks[5], (169, heads)) * 0.1,
+    ]
+
+    def loss(x, *a):
+        out = shifted_window_attention(
+            x, *a, window_size=(7, 7), shift_size=(3, 3), num_heads=heads,
+            window_group=8,
+        )
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss, argnums=(0, 1))(x, *args)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
