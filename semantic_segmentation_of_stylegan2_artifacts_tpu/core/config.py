@@ -232,6 +232,8 @@ def default_config() -> CfgNode:
     c.TPU.SOFTMAX_DTYPE = "float32"  # float32 (parity) | bfloat16 (+~4% speed)
     c.TPU.USE_PALLAS_ATTENTION = False
     c.TPU.ATTN_WINDOW_GROUP = 0  # 0 => auto; 1 => per-window matmuls; n => n windows/matmul
+    c.TPU.HOLD_WINDOW_LAYOUT = False  # window-major layout held across a stage (v5e: loses, pads feed the MLPs)
+    c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2

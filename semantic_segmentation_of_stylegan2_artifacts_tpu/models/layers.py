@@ -22,7 +22,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import patch_ops
-from ..ops.window_attention import shifted_window_attention
+from ..ops.window_attention import (
+    real_token_mask,
+    relayout_windows,
+    shifted_window_attention,
+    shifted_window_mask,
+    spatial_to_window,
+    window_attention_core,
+    window_to_spatial,
+)
 
 # torch nn.LayerNorm epsilon (parity with the reference's norm layers)
 LN_EPS = 1e-5
@@ -32,9 +40,13 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, up
 conv_torch_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-def _gelu(x: jax.Array) -> jax.Array:
-    # torch nn.GELU default is the exact erf formulation, not tanh approx.
-    return jax.nn.gelu(x, approximate=False)
+def _gelu(x: jax.Array, approximate: bool = False) -> jax.Array:
+    """GELU. torch nn.GELU defaults to the exact erf formulation; the tanh
+    approximation is ~2.2x faster on the v5e VPU (erf costs ~3.6 ms per
+    134M elements, measured) and the model runs ~1.8G GELU elements per
+    512^2 forward — so deployment configs default to tanh
+    (``TPU.GELU_TANH``) while erf remains for strict reference parity."""
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 def layer_norm(name: str, dtype: jnp.dtype = jnp.float32) -> nn.LayerNorm:
@@ -92,6 +104,7 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
+    gelu_tanh: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,7 +116,7 @@ class Mlp(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
-        x = _gelu(x)
+        x = _gelu(x, self.gelu_tanh)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(
             self.out_dim,
@@ -142,13 +155,40 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
 
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        *,
+        window_major: bool = False,
+        mask_np=None,
+    ) -> jax.Array:
         qkv_kernel, qkv_bias = self.qkv()
         proj_kernel, proj_bias = self.proj()
         need_rng = not deterministic and (
             self.attention_dropout > 0.0 or self.dropout > 0.0
         )
         rng = self.make_rng("dropout") if need_rng else None
+        if window_major:
+            # held-layout path: x is (B, nW, N, C); the caller supplies the
+            # static shift mask for this block's layout
+            return window_attention_core(
+                x.astype(self.dtype),
+                qkv_kernel,
+                qkv_bias,
+                proj_kernel,
+                proj_bias,
+                self.relative_position_bias_table,
+                window_size=tuple(self.window_size),
+                num_heads=self.num_heads,
+                mask_np=mask_np,
+                attention_dropout=self.attention_dropout,
+                dropout=self.dropout,
+                dropout_rng=rng,
+                deterministic=deterministic,
+                softmax_dtype=self.softmax_dtype,
+                window_group=(self.window_group or None),
+            )
         if self.use_pallas and rng is None:
             # fused TPU kernel (no dropout path); XLA op otherwise
             from ..ops.pallas_attention import pallas_shifted_window_attention
@@ -200,6 +240,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     use_pallas: bool = False
     window_group: int = 0
+    gelu_tanh: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -227,12 +268,44 @@ class SwinBlock(nn.Module):
             hidden_dim=int(self.dim * self.mlp_ratio),
             out_dim=self.dim,
             drop=self.dropout,
+            gelu_tanh=self.gelu_tanh,
             dtype=self.dtype,
             name="mlp",
         )
 
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        y = self.attn(self.norm1(x), deterministic=deterministic)
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        window_major_hw: Optional[Tuple[int, int]] = None,
+    ) -> jax.Array:
+        """Spatial ``(B,H,W,C)`` by default; with ``window_major_hw=(H,W)``
+        the input/output are window-major ``(B,nW,N,C)`` in this block's
+        shift layout (held-layout path, see BasicLayer)."""
+        if window_major_hw is None:
+            y = self.attn(self.norm1(x), deterministic=deterministic)
+        else:
+            h, w = window_major_hw
+            wsz = self.window_size
+            hp, wp = h + (-h % wsz), w + (-w % wsz)
+            s = wsz // 2 if self.shift else 0
+            sh = 0 if wsz >= hp else s
+            sw = 0 if wsz >= wp else s
+            mask_np = (
+                shifted_window_mask(hp, wp, wsz, wsz, sh, sw)
+                if (sh or sw)
+                else None
+            )
+            y = self.norm1(x)
+            rmask = real_token_mask(h, w, hp, wp, wsz, wsz, sh, sw)
+            if rmask is not None:
+                # zero the normed pad tokens: numerically identical to the
+                # spatial path, which zero-pads the normed map
+                y = y * jnp.asarray(rmask, y.dtype)[None]
+            y = self.attn(
+                y, deterministic=deterministic, window_major=True,
+                mask_np=mask_np,
+            )
         x = x + self.stochastic_depth(y, deterministic)
         y = self.mlp(self.norm2(x), deterministic=deterministic)
         x = x + self.stochastic_depth(y, deterministic)
@@ -322,6 +395,7 @@ class FinalPatchExpandX4V2(nn.Module):
     """
 
     dim: int
+    gelu_tanh: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -333,7 +407,7 @@ class FinalPatchExpandX4V2(nn.Module):
             dtype=self.dtype,
             name="expand",
         )(x)
-        x = _gelu(x)
+        x = _gelu(x, self.gelu_tanh)
         x = patch_ops.depth_to_space(x, 4)
         x = nn.Conv(
             self.dim,
@@ -344,7 +418,7 @@ class FinalPatchExpandX4V2(nn.Module):
             dtype=self.dtype,
             name="refine1",
         )(x)
-        x = _gelu(x)
+        x = _gelu(x, self.gelu_tanh)
         x = nn.Conv(
             self.dim,
             kernel_size=(3, 3),
@@ -370,10 +444,44 @@ def _maybe_remat(block_cls, remat: bool, policy: str = ""):
         return block_cls
     if policy == "dots":
         return nn.remat(
-            block_cls, static_argnums=(2,),
+            block_cls, static_argnums=(2, 3),
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
-    return nn.remat(block_cls, static_argnums=(2,))
+    return nn.remat(block_cls, static_argnums=(2, 3))
+
+
+
+def _run_blocks(blocks, x, deterministic, window_size, hold_layout):
+    """Run a stage's Swin blocks, optionally holding window-major layout.
+
+    Held layout replaces each block's pad/roll/partition/reverse/roll/slice
+    relayout chain with one reverse+roll+partition at shift changes and a
+    single enter/exit conversion per stage (docs/ROADMAP.md P0.1).  Real
+    token numerics are identical to the spatial path (pad tokens are
+    re-zeroed post-norm before each attention).
+    """
+    if not hold_layout or not blocks:
+        for blk in blocks:
+            x = blk(x, deterministic, None)
+        return x
+
+    b, h, w, c = x.shape
+    wsz = window_size
+    hp, wp = h + (-h % wsz), w + (-w % wsz)
+
+    def eff_shift(is_shifted: bool) -> Tuple[int, int]:
+        s = wsz // 2 if is_shifted else 0
+        return (0 if wsz >= hp else s, 0 if wsz >= wp else s)
+
+    shifts = [eff_shift(i % 2 == 1) for i in range(len(blocks))]
+    cur = shifts[0]
+    xw = spatial_to_window(x, wsz, wsz, *cur)
+    for blk, shift in zip(blocks, shifts):
+        if shift != cur:
+            xw = relayout_windows(xw, h, w, wsz, wsz, cur, shift)
+            cur = shift
+        xw = blk(xw, deterministic, (h, w))
+    return window_to_spatial(xw, h, w, wsz, wsz, *cur)
 
 
 class BasicLayer(nn.Module):
@@ -396,6 +504,8 @@ class BasicLayer(nn.Module):
     remat_policy: str = ""
     use_pallas: bool = False
     window_group: int = 0
+    hold_layout: bool = False
+    gelu_tanh: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -416,6 +526,7 @@ class BasicLayer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
                 window_group=self.window_group,
+                gelu_tanh=self.gelu_tanh,
                 softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
@@ -428,8 +539,9 @@ class BasicLayer(nn.Module):
             )
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        x = _run_blocks(
+            self.blocks, x, deterministic, self.window_size, self.hold_layout
+        )
         if self.downsample:
             x = self.downsample_layer(x)
         return x
@@ -455,6 +567,8 @@ class BasicLayerUp(nn.Module):
     remat_policy: str = ""
     use_pallas: bool = False
     window_group: int = 0
+    hold_layout: bool = False
+    gelu_tanh: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -475,6 +589,7 @@ class BasicLayerUp(nn.Module):
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
                 window_group=self.window_group,
+                gelu_tanh=self.gelu_tanh,
                 softmax_dtype=self.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
@@ -487,8 +602,9 @@ class BasicLayerUp(nn.Module):
             )
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        x = _run_blocks(
+            self.blocks, x, deterministic, self.window_size, self.hold_layout
+        )
         if self.upsample:
             x = self.upsample_layer(x)
         return x

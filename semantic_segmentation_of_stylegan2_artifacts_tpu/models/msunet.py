@@ -76,6 +76,8 @@ class MSUNetSys(nn.Module):
     remat_policy: str = ""  # "" (full) | "dots" (save matmuls, recompute rest)
     use_pallas: bool = False
     window_group: int = 0  # windows per attention matmul (0 => auto)
+    hold_layout: bool = False  # keep window-major layout across a stage's blocks
+    gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -95,6 +97,8 @@ class MSUNetSys(nn.Module):
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
             window_group=self.window_group,
+            hold_layout=self.hold_layout,
+            gelu_tanh=self.gelu_tanh,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
         )
@@ -203,7 +207,8 @@ class MSUNetSys(nn.Module):
         self.norm = layer_norm("norm", self.dtype)
         self.norm_up = layer_norm("norm_up", self.dtype)
         self.up = FinalPatchExpandX4V2(
-            dim=self.embed_dim, dtype=self.dtype, name="up"
+            dim=self.embed_dim, gelu_tanh=self.gelu_tanh, dtype=self.dtype,
+            name="up",
         )
         self.output = nn.Conv(
             self.num_classes,
@@ -306,6 +311,8 @@ class MSUNet(nn.Module):
     remat_policy: str = ""
     use_pallas: bool = False
     window_group: int = 0  # windows per attention matmul (0 => auto)
+    hold_layout: bool = False  # keep window-major layout across a stage's blocks
+    gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -351,6 +358,8 @@ class MSUNet(nn.Module):
             remat_policy=remat_policy,
             use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
             window_group=int(getattr(config.TPU, "ATTN_WINDOW_GROUP", 0)),
+            hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
+            gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
                            else jnp.float32),
@@ -378,6 +387,8 @@ class MSUNet(nn.Module):
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
             window_group=self.window_group,
+            hold_layout=self.hold_layout,
+            gelu_tanh=self.gelu_tanh,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="msunet",

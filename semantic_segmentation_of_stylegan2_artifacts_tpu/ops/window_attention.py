@@ -101,6 +101,84 @@ def window_reverse(x: jax.Array, h: int, w: int, wh: int, ww: int) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
+# Held window-major layout (per-stage relayout elision)
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def real_token_mask(
+    h: int, w: int, hp: int, wp: int, wh: int, ww: int, sh: int, sw: int
+) -> Optional[np.ndarray]:
+    """Static ``(nW, N, 1)`` float mask: 1 at real tokens, 0 at pad tokens,
+    in the window-major layout obtained by pad -> roll(-s) -> partition.
+
+    Used by the held-layout block path to zero the *normed* input at pad
+    positions before attention — numerically identical to the spatial
+    path, which zero-pads the normed map (torchvision semantics).
+    Returns None when the grid needs no padding.
+    """
+    if hp == h and wp == w:
+        return None
+    real = np.zeros((hp, wp), np.float32)
+    real[:h, :w] = 1.0
+    if sh or sw:
+        real = np.roll(real, (-sh, -sw), axis=(0, 1))
+    real = real.reshape(hp // wh, wh, wp // ww, ww)
+    real = real.transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    return real[:, :, None]  # (nW, N, 1)
+
+
+def spatial_to_window(
+    x: jax.Array, wh: int, ww: int, sh: int, sw: int
+) -> jax.Array:
+    """``(B, H, W, C)`` -> window-major ``(B, nW, N, C)`` (pad, roll, part)."""
+    b, h, w, c = x.shape
+    pad_h, pad_w = -h % wh, -w % ww
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    return window_partition(x, wh, ww)
+
+
+def window_to_spatial(
+    xw: jax.Array, h: int, w: int, wh: int, ww: int, sh: int, sw: int
+) -> jax.Array:
+    """Inverse of :func:`spatial_to_window` (reverse, unroll, slice)."""
+    hp, wp = h + (-h % wh), w + (-w % ww)
+    x = window_reverse(xw, hp, wp, wh, ww)
+    if sh or sw:
+        x = jnp.roll(x, shift=(sh, sw), axis=(1, 2))
+    if hp != h or wp != w:
+        x = x[:, :h, :w, :]
+    return x
+
+
+def relayout_windows(
+    xw: jax.Array,
+    h: int,
+    w: int,
+    wh: int,
+    ww: int,
+    from_shift: Tuple[int, int],
+    to_shift: Tuple[int, int],
+) -> jax.Array:
+    """Move a window-major map from one shift layout to another.
+
+    One reverse + roll + partition (values at pad positions travel along;
+    they are masked out before each attention anyway).  Replaces the
+    per-block pad/roll/partition/reverse/roll/slice chain of the spatial
+    path — the layout-op halving from docs/ROADMAP.md P0.1.
+    """
+    if from_shift == to_shift:
+        return xw
+    hp, wp = h + (-h % wh), w + (-w % ww)
+    x = window_reverse(xw, hp, wp, wh, ww)
+    dh = from_shift[0] - to_shift[0]
+    dw = from_shift[1] - to_shift[1]
+    x = jnp.roll(x, shift=(dh, dw), axis=(1, 2))
+    return window_partition(x, wh, ww)
+
+
+# --------------------------------------------------------------------------
 # Window grouping (TPU batched-matmul efficiency)
 # --------------------------------------------------------------------------
 def pick_window_group(n_win: int) -> int:
@@ -238,13 +316,10 @@ def shifted_window_attention(
     b, h, w, c = x.shape
     wh, ww = window_size
     sh, sw = shift_size
-    head_dim = c // num_heads
 
     pad_h = -h % wh
     pad_w = -w % ww
     hp, wp = h + pad_h, w + pad_w
-    if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
     # torchvision: drop the shift if one window spans the padded grid
     if wh >= hp:
@@ -253,12 +328,47 @@ def shifted_window_attention(
         sw = 0
     shifted = (sh + sw) > 0
 
-    if shifted:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    xw = spatial_to_window(x, wh, ww, sh, sw)  # (B, nW, N, C)
+    mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw) if shifted else None
 
-    xw = window_partition(x, wh, ww)  # (B, nW, N, C)
-    n_win = xw.shape[1]
-    n_tok = wh * ww
+    out = window_attention_core(
+        xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table,
+        window_size=window_size, num_heads=num_heads, mask_np=mask_np,
+        attention_dropout=attention_dropout, dropout=dropout,
+        dropout_rng=dropout_rng, deterministic=deterministic,
+        softmax_dtype=softmax_dtype, window_group=window_group,
+    )
+    return window_to_spatial(out, h, w, wh, ww, sh, sw)
+
+
+def window_attention_core(
+    xw: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: Optional[jax.Array],
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array],
+    bias_table: jax.Array,
+    *,
+    window_size: Tuple[int, int],
+    num_heads: int,
+    mask_np: Optional[np.ndarray] = None,
+    attention_dropout: float = 0.0,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    softmax_dtype: jnp.dtype = jnp.float32,
+    window_group: Optional[int] = None,
+) -> jax.Array:
+    """Attention on an already window-major map ``(B, nW, N, C)``.
+
+    ``mask_np`` is the static per-window additive mask (from
+    :func:`shifted_window_mask`) or None for unshifted blocks.  This is
+    the compute core shared by the spatial op and the held-layout block
+    path (``models/layers.py``).
+    """
+    b, n_win, n_tok, c = xw.shape
+    wh, ww = window_size
+    head_dim = c // num_heads
 
     qkv = jnp.einsum("bwnc,cd->bwnd", xw, qkv_kernel.astype(xw.dtype))
     if qkv_bias is not None:
@@ -268,7 +378,6 @@ def shifted_window_attention(
     rel_idx = relative_position_index(wh, ww)  # static numpy (N, N)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n_tok, n_tok, num_heads)
     rel_bias = rel_bias.transpose(2, 0, 1)  # heads, N, N
-    mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw) if shifted else None
 
     group = window_group if window_group is not None else pick_window_group(n_win)
     group = max(1, min(group, n_win))
@@ -306,7 +415,7 @@ def shifted_window_attention(
         attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k).astype(softmax_dtype)
         attn = attn + rel_bias[None, None].astype(softmax_dtype)
 
-        if shifted:
+        if mask_np is not None:
             mask = jnp.asarray(mask_np)
             attn = attn + mask[None, :, None].astype(softmax_dtype)
 
@@ -331,10 +440,4 @@ def shifted_window_attention(
         keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
         out = jnp.where(keep, out / (1.0 - dropout), 0.0)
 
-    out = window_reverse(out, hp, wp, wh, ww)
-
-    if shifted:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
-    if pad_h or pad_w:
-        out = out[:, :h, :w, :]
     return out

@@ -165,3 +165,31 @@ def test_patch_ops_merge_expand_inverse():
     np.testing.assert_array_equal(np.asarray(d[0, 0, 1]), np.asarray(y[0, 0, 0, 2:4]))
     np.testing.assert_array_equal(np.asarray(d[0, 1, 0]), np.asarray(y[0, 0, 0, 4:6]))
     np.testing.assert_array_equal(np.asarray(d[0, 1, 1]), np.asarray(y[0, 0, 0, 6:8]))
+
+
+@pytest.mark.parametrize("window_size", [4, 7])
+def test_hold_layout_matches_spatial_path(window_size):
+    """TPU.HOLD_WINDOW_LAYOUT runs a stage's blocks in window-major layout
+    (one relayout per shift change instead of six per block); forward and
+    gradients must match the per-block spatial path to float rounding."""
+    kw = dict(img_size=64, embed_dim=16, depths=(2, 2, 2, 2),
+              num_heads=(2, 2, 2, 2), window_size=window_size,
+              dtype=jnp.float32, softmax_dtype=jnp.float32)
+    m_sp = MSUNet(hold_layout=False, **kw)
+    m_hl = MSUNet(hold_layout=True, **kw)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = jax.jit(lambda r, x: m_sp.init({"params": r}, x, True))(
+        jax.random.PRNGKey(1), x)
+    o_sp = jax.jit(lambda v, x: m_sp.apply(v, x, True))(v, x)
+    o_hl = jax.jit(lambda v, x: m_hl.apply(v, x, True))(v, x)
+    np.testing.assert_allclose(np.asarray(o_hl), np.asarray(o_sp),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        return lambda v: jnp.mean(m.apply(v, x, True) ** 2)
+
+    g_sp = jax.jit(jax.grad(loss(m_sp)))(v)
+    g_hl = jax.jit(jax.grad(loss(m_hl)))(v)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_sp, g_hl)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
