@@ -96,30 +96,50 @@ class TrainLoader:
         n_real = num_real_for_ratio(len(self.fake_ds), len(self.real_ds), ratio)
         return (len(self.fake_ds) + n_real) // self.batch_size // merge
 
-    def epoch_batches_merged(self, epoch: int, merge: int) -> Iterator[Dict]:
+    def epoch_batches_merged(self, epoch: int, merge: int,
+                             shard: tuple = None) -> Iterator[Dict]:
         """Concatenate ``merge`` sampler batches into one global batch.
 
         Data-parallel training wants a global batch of ``2 * n_devices``
         while keeping the pattern sampler's >=1-fake-per-pair guarantee
         (each device's pair still satisfies it).  Trailing batches that
         don't fill a full global batch are dropped (static shapes).
+
+        ``shard=(process_index, process_count)`` restricts decoding to
+        this host's slice of every global batch: ``merge`` is the GLOBAL
+        pair count per step; each host assembles the contiguous
+        ``merge // process_count`` pairs at offset
+        ``process_index * (merge // process_count)`` within the group and
+        yields a local batch of ``2 * merge // process_count`` images.
+        The sampler itself is index-only and deterministic per epoch, so
+        every host derives the identical global plan and only decodes its
+        own rows (multi-host SPMD input pipeline; assemble the local
+        batches into one global array with
+        :func:`..parallel.multihost.make_global_batch`).
         """
-        if merge <= 1:
+        if merge <= 1 and shard is None:
             yield from self.epoch_batches(epoch)
             return
-        buf: List[Dict] = []
-        for b in self.epoch_batches(epoch):
-            buf.append(b)
-            if len(buf) == merge:
-                yield {
-                    "image": np.concatenate([x["image"] for x in buf]),
-                    "label": np.concatenate([x["label"] for x in buf]),
-                    "case_name": sum((x["case_name"] for x in buf), []),
-                }
-                buf = []
+        pi, pc = (0, 1) if shard is None else (int(shard[0]), int(shard[1]))
+        if pc < 1 or not 0 <= pi < pc:
+            raise ValueError(f"bad shard {shard}")
+        if merge % pc != 0:
+            raise ValueError(
+                f"global merge {merge} not divisible by process_count {pc}")
+        local = merge // pc
+        pairs, fetch = self._epoch_plan(epoch)
+        groups: List[List[int]] = []
+        for g in range(len(pairs) // merge):
+            sub = pairs[g * merge + pi * local: g * merge + (pi + 1) * local]
+            groups.append([i for pair in sub for i in pair])
+        yield from self._run(groups, fetch)
 
-    def epoch_batches(self, epoch: int) -> Iterator[Dict]:
-        """Yield batches ``{'image': (B,H,W,3) u8, 'label': (B,H,W) u8}``."""
+    def _epoch_plan(self, epoch: int):
+        """Index-level epoch plan: (sampler pair list, fetch closure).
+
+        No decoding happens here — the plan is cheap and identical on
+        every host (seeded by ``(seed, epoch)`` only).
+        """
         n_fake = len(self.fake_ds)
         total_real = len(self.real_ds)
         ratio = real_ratio_schedule(epoch, self.dynamic_loader)
@@ -146,10 +166,19 @@ class TrainLoader:
             rng = sample_rng(self.seed, epoch, idx)
             return self.transform(sample, rng=rng)
 
+        return list(sampler), fetch
+
+    def epoch_batches(self, epoch: int) -> Iterator[Dict]:
+        """Yield batches ``{'image': (B,H,W,3) u8, 'label': (B,H,W) u8}``."""
+        pairs, fetch = self._epoch_plan(epoch)
+        yield from self._run(pairs, fetch)
+
+    def _run(self, batches: List[List[int]], fetch) -> Iterator[Dict]:
+        """Threaded decode/augment + prefetch over index lists."""
+
         def assemble(batch_indices: List[int]) -> Dict:
             return _stack_batch([fetch(i) for i in batch_indices])
 
-        batches = list(sampler)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             it = iter(batches)
