@@ -57,6 +57,10 @@ def main():
                     help="exact erf GELU (reference parity mode); default "
                          "benchmarks the tanh-GELU deployment config "
                          "(TPU.GELU_TANH, ~2.2x faster on the VPU)")
+    ap.add_argument("--no_fused_head", action="store_true",
+                    help="disable the Pallas fused GELU+depth-to-space head "
+                         "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
+                         "mode on a TPU backend")
     ap.add_argument("--softmax_f32", action="store_true",
                     help="keep fp32 attention softmax (parity mode); the "
                          "default benchmarks the bf16-softmax deployment "
@@ -106,6 +110,7 @@ def main():
                        remat_high_res=high_res,
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
+                       fused_head=not args.no_fused_head,
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch

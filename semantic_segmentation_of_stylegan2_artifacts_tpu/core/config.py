@@ -234,6 +234,7 @@ def default_config() -> CfgNode:
     c.TPU.ATTN_WINDOW_GROUP = 0  # 0 => auto; 1 => per-window matmuls; n => n windows/matmul
     c.TPU.HOLD_WINDOW_LAYOUT = False  # window-major layout held across a stage (v5e: loses, pads feed the MLPs)
     c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)
+    c.TPU.FUSED_HEAD = True  # Pallas fused GELU+depth-to-space in the up_x4 head
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2

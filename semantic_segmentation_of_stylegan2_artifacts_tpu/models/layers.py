@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import patch_ops
+from ..ops import fused_head, fused_window_attention, patch_ops
 from ..ops.window_attention import (
     real_token_mask,
     relayout_windows,
@@ -189,11 +189,13 @@ class WindowAttention(nn.Module):
                 softmax_dtype=self.softmax_dtype,
                 window_group=(self.window_group or None),
             )
-        if self.use_pallas and rng is None:
+        if self.use_pallas and rng is None and fused_window_attention.supported(
+            x.shape, tuple(self.window_size), self.num_heads,
+            attention_dropout=self.attention_dropout,
+            deterministic=deterministic,
+        ):
             # fused TPU kernel (no dropout path); XLA op otherwise
-            from ..ops.pallas_attention import pallas_shifted_window_attention
-
-            return pallas_shifted_window_attention(
+            return fused_window_attention.fused_shifted_window_attention(
                 x.astype(self.dtype),
                 qkv_kernel,
                 qkv_bias,
@@ -396,6 +398,7 @@ class FinalPatchExpandX4V2(nn.Module):
 
     dim: int
     gelu_tanh: bool = False
+    fused_head: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -407,8 +410,11 @@ class FinalPatchExpandX4V2(nn.Module):
             dtype=self.dtype,
             name="expand",
         )(x)
-        x = _gelu(x, self.gelu_tanh)
-        x = patch_ops.depth_to_space(x, 4)
+        if self.fused_head and fused_head.supported(x.shape, self.gelu_tanh):
+            x = fused_head.fused_gelu_d2s4(x)
+        else:
+            x = _gelu(x, self.gelu_tanh)
+            x = patch_ops.depth_to_space(x, 4)
         x = nn.Conv(
             self.dim,
             kernel_size=(3, 3),

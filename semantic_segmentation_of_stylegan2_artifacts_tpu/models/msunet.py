@@ -78,6 +78,7 @@ class MSUNetSys(nn.Module):
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
+    fused_head: bool = False  # Pallas fused GELU+depth-to-space in up_x4
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -207,8 +208,8 @@ class MSUNetSys(nn.Module):
         self.norm = layer_norm("norm", self.dtype)
         self.norm_up = layer_norm("norm_up", self.dtype)
         self.up = FinalPatchExpandX4V2(
-            dim=self.embed_dim, gelu_tanh=self.gelu_tanh, dtype=self.dtype,
-            name="up",
+            dim=self.embed_dim, gelu_tanh=self.gelu_tanh,
+            fused_head=self.fused_head, dtype=self.dtype, name="up",
         )
         self.output = nn.Conv(
             self.num_classes,
@@ -313,6 +314,7 @@ class MSUNet(nn.Module):
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
+    fused_head: bool = False  # Pallas fused GELU+depth-to-space in up_x4
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -360,6 +362,7 @@ class MSUNet(nn.Module):
             window_group=int(getattr(config.TPU, "ATTN_WINDOW_GROUP", 0)),
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
+            fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
                            else jnp.float32),
@@ -389,6 +392,7 @@ class MSUNet(nn.Module):
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
+            fused_head=self.fused_head,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="msunet",

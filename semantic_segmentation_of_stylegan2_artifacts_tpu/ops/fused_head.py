@@ -1,0 +1,147 @@
+"""Fused GELU + x4 depth-to-space for the decoder head (Pallas TPU).
+
+The reference head (``network/model_parts.py:437-476``,
+``FinalPatchExpand_X4_V2``) runs Linear(C->16C) -> GELU -> x4
+depth-to-space -> convs.  Measured on v5e at 512^2 batch 8, the unfused
+XLA path costs ~7.4 ms forward for the GELU + relayout alone (each op is
+a separate HBM round-trip over a 268 MB tensor; XLA does not fuse
+elementwise producers into transposes here).  This kernel does both in
+one HBM pass: read a row-strip, tanh-GELU in VMEM (f32 math), relayout
+4x4 channel blocks onto the spatial grid in VMEM, write the expanded
+strip.  Backward is the mirror kernel: space-to-depth gather of the
+cotangent fused with the GELU derivative.
+
+Only the tanh-GELU deployment mode is fused (``TPU.GELU_TANH``); the
+exact-erf parity mode keeps the composed XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows of the input grid processed per program (2 keeps the bwd kernel's
+# f32 temporaries under the 16 MB scoped-vmem stack limit at W=128, C16=2048)
+_ROWS = 2
+
+# tests flip this to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+_SQRT_2_OVER_PI = 0.7978845608028654
+_KAPPA = 0.044715
+
+
+def _gelu_tanh_f32(x):
+    u = _SQRT_2_OVER_PI * (x + _KAPPA * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
+
+
+def _gelu_tanh_grad_f32(x):
+    x2 = x * x
+    u = _SQRT_2_OVER_PI * (x + _KAPPA * x * x2)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _KAPPA * x2)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+def _fwd_kernel(x_ref, o_ref, *, w: int, c: int):
+    # x_ref: (1, _ROWS, W, 16C); o_ref: (1, 4*_ROWS, 4W, C)
+    for hi in range(_ROWS):
+        row = x_ref[0, hi].astype(jnp.float32)  # (W, 16C)
+        row = _gelu_tanh_f32(row)
+        x4 = row.reshape(w, 4, 4, c)  # (W, p1, p2, C)
+        for p1 in range(4):
+            # rows w*4+p2 of output plane p1 <- x4[w, p1, p2]
+            o_ref[0, hi * 4 + p1] = (
+                x4[:, p1].reshape(4 * w, c).astype(o_ref.dtype)
+            )
+
+
+def _bwd_kernel(x_ref, g_ref, dx_ref, *, w: int, c: int):
+    # x_ref/dx_ref: (1, _ROWS, W, 16C); g_ref: (1, 4*_ROWS, 4W, C)
+    for hi in range(_ROWS):
+        planes = []
+        for p1 in range(4):
+            gp = g_ref[0, hi * 4 + p1].astype(jnp.float32)  # (4W, C)
+            planes.append(gp.reshape(w, 4, c))  # (W, p2, C)
+        g4 = jnp.stack(planes, axis=1)  # (W, p1, p2, C)
+        gflat = g4.reshape(w, 16 * c)
+        x = x_ref[0, hi].astype(jnp.float32)
+        dx_ref[0, hi] = (gflat * _gelu_tanh_grad_f32(x)).astype(dx_ref.dtype)
+
+
+def _fwd_pallas(x: jax.Array) -> jax.Array:
+    b, h, w, c16 = x.shape
+    c = c16 // 16
+    grid = (b, h // _ROWS)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, 4 * h, 4 * w, c), x.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 4 * _ROWS, 4 * w, c),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
+    )(x)
+
+
+def _bwd_pallas(x: jax.Array, g: jax.Array) -> jax.Array:
+    b, h, w, c16 = x.shape
+    c = c16 // 16
+    grid = (b, h // _ROWS)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * _ROWS, 4 * w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
+    )(x, g)
+
+
+@jax.custom_vjp
+def fused_gelu_d2s4(x: jax.Array) -> jax.Array:
+    """tanh-GELU then x4 depth-to-space: ``(B,H,W,16C) -> (B,4H,4W,C)``.
+
+    Same channel decomposition as :func:`..ops.patch_ops.depth_to_space`
+    (p1-major, reference ``model_parts.py:464``).
+    """
+    return _fwd_pallas(x)
+
+
+def _vjp_fwd(x):
+    return _fwd_pallas(x), x
+
+
+def _vjp_bwd(x, g):
+    return (_bwd_pallas(x, g),)
+
+
+fused_gelu_d2s4.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supported(x_shape, gelu_tanh: bool) -> bool:
+    """Kernel applicability: TPU backend, tanh mode, grid shape fits."""
+    if not gelu_tanh:
+        return False
+    b, h, w, c16 = x_shape
+    if h % _ROWS or c16 % 16:
+        return False
+    if INTERPRET:
+        return True
+    try:
+        # the axon relay registers the v5e chip under its own platform name
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,466 @@
+"""Fused shifted-window attention (Pallas TPU kernel, round-2 rewrite).
+
+Why: at window 7 the XLA path materializes every window-shaped tensor in
+HBM with severe tile padding — ``(…,49,49)`` scores pad ×3.4 on the
+(16,128) bf16 tile and the per-head ``(…,49,32)`` q/k/v relayouts pad
+×4.6 — so stage-0/1 attention runs ~16× over the bandwidth floor
+(measured v5e, 512²: ~8 ms fwd+bwd per stage-0 block of a 3-ms-fwd
+step).  This kernel keeps all window-shaped intermediates in VMEM:
+
+* grid = (batch, window-row strip); the strip of spatial-rolled qkv is
+  window-partitioned **in VMEM** (static sublane slices, no HBM
+  relayout);
+* per head, windows are packed along the sublane axis and scored with
+  ONE MXU matmul per ≤20-window group — the block-diagonal waste costs
+  only MXU FLOPs (attention matmuls are <1% of model FLOPs), never HBM;
+* the valid diagonal 49×49 blocks are extracted with static slices,
+  get bias+mask+softmax as one small batched VPU op, and are scattered
+  into a zero block-diagonal probs matrix (zeroed once per program) for
+  ONE context matmul per head;
+* backward recomputes scores/probs flash-style from the saved qkv —
+  nothing else is saved, so train-step live memory drops by the probs
+  tensors the XLA path keeps for its VJP;
+* the relative-position-bias gradient is accumulated across the whole
+  grid into a single revisited output block (TPU grid execution is
+  sequential).
+
+Numerics match ``ops/window_attention.py`` (torchvision semantics,
+reference ``network/model_parts.py:36,143-151``): zero-padded tokens
+participate in unshifted attention, shifted blocks use the 9-region
+additive mask, softmax in f32.  Exactness is asserted in
+``tests/test_fused_window_attention.py`` (interpret mode) and the op is
+gated by ``TPU.FUSED_ATTENTION`` + backend/shape support.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_attention import relative_position_index, shifted_window_mask
+
+# tests flip this to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
+# max packed tokens per score matmul (VMEM budget: S_cap^2 f32 + bf16)
+_S_CAP = 1024
+
+
+def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
+    """Split ``n_win`` windows into groups of <= _S_CAP//n_tok windows."""
+    g_cap = max(1, _S_CAP // n_tok)
+    sizes = [g_cap] * (n_win // g_cap)
+    if n_win % g_cap:
+        sizes.append(n_win % g_cap)
+    return tuple(sizes)
+
+
+def _strip_to_wm(strip, wm_ref, wh: int, ww: int, nww: int, c3: int):
+    """Spatial strip ``(wh, Wp, 3C)`` -> window-major rows of ``wm_ref``."""
+    n = wh * ww
+    for w in range(nww):
+        wm_ref[w * n:(w + 1) * n, :] = (
+            strip[:, w * ww:(w + 1) * ww, :].reshape(n, c3)
+        )
+
+
+def _softmax_rows(x):
+    """Row softmax over the last axis, f32, max-subtracted."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(
+    qkv_ref,   # (1, wh, Wp, 3C) spatial-rolled strip
+    bias_ref,  # (heads, N, N) f32
+    mask_ref,  # (1, nWw, N, N) f32 additive (zeros when unshifted)
+    o_ref,     # (1, wh, Wp, C)
+    wm_ref,    # scratch (S_cap, 3C) input dtype, window-major qkv
+    s_ref,     # scratch (S_cap, S_cap) f32 score matrix
+    p_ref,     # scratch (S_cap, N) f32 diagonal prob blocks
+    z_ref,     # scratch (S_cap, S_cap) bf16 block-diagonal probs
+    ow_ref,    # scratch (S_cap, C) input dtype, window-major context
+    *,
+    wh: int,
+    ww: int,
+    heads: int,
+):
+    _, _, wp, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // heads
+    n = wh * ww
+    nww = wp // ww
+    scale = hd ** -0.5
+    b_idx = pl.program_id(0)
+    i_idx = pl.program_id(1)
+
+    # probs matrix: only diagonal blocks are ever written below, so one
+    # zero-fill on the first program keeps every off-diagonal entry zero
+    # for the whole grid (group sizes only shrink within a strip, and a
+    # stale diagonal block from a larger previous group lies entirely
+    # outside the rows used by a smaller current group).
+    @pl.when(jnp.logical_and(b_idx == 0, i_idx == 0))
+    def _():
+        z_ref[...] = jnp.zeros_like(z_ref)
+
+    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, nww, c3)
+
+    w0 = 0
+    for g in _group_sizes(nww, n):
+        s = g * n
+        for h in range(heads):
+            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
+            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            s_ref[:s, :s] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # diagonal 49x49 blocks -> (s, N) with bias + shift mask
+            for w in range(g):
+                p_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            blk = p_ref[:s, :] * scale
+            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+            blk += mask_ref[0, w0:w0 + g].reshape(s, n)
+            probs = _softmax_rows(blk).astype(z_ref.dtype)
+            for w in range(g):
+                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    probs[w * n:(w + 1) * n, :]
+                )
+            ctx = jax.lax.dot_general(
+                z_ref[:s, :s], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ow_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
+                ctx.astype(ow_ref.dtype)
+            )
+        w0 += g
+
+    for w in range(nww):
+        o_ref[0, :, w * ww:(w + 1) * ww, :] = (
+            ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
+        )
+
+
+def _bwd_kernel(
+    qkv_ref,    # (1, wh, Wp, 3C)
+    dctx_ref,   # (1, wh, Wp, C)
+    bias_ref,   # (heads, N, N) f32
+    mask_ref,   # (1, nWw, N, N) f32
+    dqkv_ref,   # (1, wh, Wp, 3C)
+    dbias_ref,  # (heads, N, N) f32 — accumulated across the whole grid
+    wm_ref,     # scratch (S_cap, 3C)
+    dwm_ref,    # scratch (S_cap, 3C) f32
+    dcw_ref,    # scratch (S_cap, C)
+    s_ref,      # scratch (S_cap, S_cap) f32: scores, then dP
+    p_ref,      # scratch (S_cap, N) f32
+    dp_ref,     # scratch (S_cap, N) f32
+    z_ref,      # scratch (S_cap, S_cap) bf16: probs
+    z2_ref,     # scratch (S_cap, S_cap) bf16: dS
+    *,
+    wh: int,
+    ww: int,
+    heads: int,
+):
+    _, _, wp, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // heads
+    n = wh * ww
+    nww = wp // ww
+    scale = hd ** -0.5
+    b_idx = pl.program_id(0)
+    i_idx = pl.program_id(1)
+
+    first = jnp.logical_and(b_idx == 0, i_idx == 0)
+
+    @pl.when(first)
+    def _():
+        z_ref[...] = jnp.zeros_like(z_ref)
+        z2_ref[...] = jnp.zeros_like(z2_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, nww, c3)
+    for w in range(nww):
+        dcw_ref[w * n:(w + 1) * n, :] = (
+            dctx_ref[0, :, w * ww:(w + 1) * ww, :].reshape(n, c)
+        )
+
+    w0 = 0
+    for g in _group_sizes(nww, n):
+        s = g * n
+        for h in range(heads):
+            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
+            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            dctx = dcw_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+
+            # recompute probs (same as forward)
+            s_ref[:s, :s] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for w in range(g):
+                p_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            blk = p_ref[:s, :] * scale
+            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+            blk += mask_ref[0, w0:w0 + g].reshape(s, n)
+            probs = _softmax_rows(blk)
+            pz = probs.astype(z_ref.dtype)
+            for w in range(g):
+                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    pz[w * n:(w + 1) * n, :]
+                )
+
+            # dP (diagonal blocks of dctx @ v^T), softmax VJP, dS
+            s_ref[:s, :s] = jax.lax.dot_general(
+                dctx, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for w in range(g):
+                dp_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            dpb = dp_ref[:s, :]
+            ds = probs * (
+                dpb - jnp.sum(dpb * probs, axis=-1, keepdims=True)
+            )
+            # bias gradient: sum over this group's windows
+            dbias_ref[h] += jnp.sum(
+                ds.reshape(g, n, n), axis=0
+            )
+            dsz = ds.astype(z2_ref.dtype)
+            for w in range(g):
+                z2_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    dsz[w * n:(w + 1) * n, :]
+                )
+
+            # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
+            dq = jax.lax.dot_general(
+                z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                z2_ref[:s, :s], q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dv = jax.lax.dot_general(
+                z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = dq
+            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = dk
+            dwm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
+        w0 += g
+
+    for w in range(nww):
+        dqkv_ref[0, :, w * ww:(w + 1) * ww, :] = (
+            dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
+        ).astype(dqkv_ref.dtype)
+
+
+def _specs(b, hp, wp, c3, c, heads, n, nwh, nww):
+    in_specs = [
+        pl.BlockSpec((1, hp // nwh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return in_specs
+
+
+def _scap(nww: int, n: int) -> int:
+    return max(_group_sizes(nww, n)) * n
+
+
+def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    n = wh * ww
+    nwh, nww = hp // wh, wp // ww
+    s_cap = _scap(nww, n)
+    s_all = nww * n
+    grid = (b, nwh)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        grid=grid,
+        in_specs=_specs(b, hp, wp, c3, c, heads, n, nwh, nww),
+        out_specs=pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s_all, c3), qkv.dtype),
+            pltpu.VMEM((s_cap, s_cap), jnp.float32),
+            pltpu.VMEM((s_cap, n), jnp.float32),
+            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
+            pltpu.VMEM((s_all, c), qkv.dtype),
+        ],
+        interpret=INTERPRET,
+    )(qkv, rel_bias, mask)
+
+
+def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    n = wh * ww
+    nwh, nww = hp // wh, wp // ww
+    s_cap = _scap(nww, n)
+    s_all = nww * n
+    grid = (b, nwh)
+    in_specs = _specs(b, hp, wp, c3, c, heads, n, nwh, nww)
+    in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
+                                    lambda b_, i: (b_, i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_all, c3), qkv.dtype),
+            pltpu.VMEM((s_all, c3), jnp.float32),
+            pltpu.VMEM((s_all, c), qkv.dtype),
+            pltpu.VMEM((s_cap, s_cap), jnp.float32),
+            pltpu.VMEM((s_cap, n), jnp.float32),
+            pltpu.VMEM((s_cap, n), jnp.float32),
+            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
+            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
+        ],
+        interpret=INTERPRET,
+    )(qkv, dctx, rel_bias, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attn_core(qkv, rel_bias, mask, wh, ww, heads):
+    """Window attention on spatial-rolled qkv: ``(B,Hp,Wp,3C)->(B,Hp,Wp,C)``."""
+    return _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
+
+
+def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads):
+    out = _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
+    return out, (qkv, rel_bias, mask)
+
+
+def _attn_core_bwd(wh, ww, heads, res, dctx):
+    qkv, rel_bias, mask = res
+    dqkv, dbias = _bwd_pallas(
+        qkv, dctx, rel_bias, mask, wh=wh, ww=ww, heads=heads
+    )
+    return dqkv, dbias.astype(rel_bias.dtype), jnp.zeros_like(mask)
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
+def supported(
+    shape: Tuple[int, int, int, int],
+    window_size: Tuple[int, int],
+    num_heads: int,
+    *,
+    attention_dropout: float = 0.0,
+    deterministic: bool = True,
+) -> bool:
+    """Kernel applicability for a ``(B,H,W,C)`` input."""
+    if not deterministic and attention_dropout > 0.0:
+        return False  # dropout inside attention stays on the XLA path
+    b, h, w, c = shape
+    wh, ww = window_size
+    n = wh * ww
+    if c % num_heads:
+        return False
+    hd = c // num_heads
+    if hd % 8 or hd > 128:
+        return False  # lane-slice granularity
+    if n > _S_CAP:
+        return False
+    if INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_shifted_window_attention(
+    x: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: Optional[jax.Array],
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array],
+    bias_table: jax.Array,
+    *,
+    window_size: Tuple[int, int],
+    shift_size: Tuple[int, int],
+    num_heads: int,
+) -> jax.Array:
+    """Drop-in fused counterpart of
+    :func:`..ops.window_attention.shifted_window_attention` (deterministic
+    path).  qkv/proj projections run in XLA (large fusable matmuls); the
+    window-shaped middle runs in the Pallas kernel.
+    """
+    b, h, w, c = x.shape
+    wh, ww = window_size
+    sh, sw = shift_size
+    n = wh * ww
+
+    pad_h, pad_w = -h % wh, -w % ww
+    hp, wp = h + pad_h, w + pad_w
+    if wh >= hp:
+        sh = 0
+    if ww >= wp:
+        sw = 0
+    shifted = (sh + sw) > 0
+
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    if shifted:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+
+    qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(qkv.dtype)
+
+    rel_idx = relative_position_index(wh, ww)
+    rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
+    rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
+
+    nwh, nww = hp // wh, wp // ww
+    if shifted:
+        mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw)
+        mask_np = mask_np.reshape(nwh, nww, n, n)
+    else:
+        mask_np = np.zeros((nwh, nww, n, n), np.float32)
+    mask = jnp.asarray(mask_np)
+
+    ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
+
+    if shifted:
+        ctx = jnp.roll(ctx, shift=(sh, sw), axis=(1, 2))
+    if pad_h or pad_w:
+        ctx = ctx[:, :h, :w, :]
+
+    out = jnp.einsum("bhwc,cd->bhwd", ctx, proj_kernel.astype(ctx.dtype))
+    if proj_bias is not None:
+        out = out + proj_bias.astype(out.dtype)
+    return out

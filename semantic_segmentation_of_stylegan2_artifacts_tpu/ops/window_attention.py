@@ -22,7 +22,7 @@ TPU-first design notes: everything here is static-shaped; the mask and the
 relative-position index are plain numpy constants baked into the jaxpr, so
 XLA folds them.  The attention itself is a batched (windows × heads) matmul
 over 49-token windows — MXU-friendly and fully fusable.  A Pallas fused
-kernel with the same signature lives in ``ops/pallas_attention.py``.
+kernel with the same signature lives in ``ops/fused_window_attention.py``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,115 @@
+"""Fused Pallas shifted-window attention vs the XLA reference path.
+
+Runs the kernel in the Pallas interpreter on CPU and asserts forward and
+VJP parity against ``ops.window_attention.shifted_window_attention``
+(the torchvision-semantics oracle-tested path), including shifted
+blocks, padded (non-multiple-of-window) grids, and the bias-table
+gradient accumulated across the whole grid.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
+    fused_window_attention as fwa,
+)
+from semantic_segmentation_of_stylegan2_artifacts_tpu.ops.window_attention import (
+    shifted_window_attention,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fwa, "INTERPRET", True)
+
+
+def _make_inputs(key, b, h, w, c, heads, window):
+    ks = jax.random.split(key, 6)
+    wh, ww = window
+    table = (2 * wh - 1) * (2 * ww - 1)
+    return dict(
+        x=jax.random.normal(ks[0], (b, h, w, c)) * 0.5,
+        qkv_kernel=jax.random.normal(ks[1], (c, 3 * c)) * 0.1,
+        qkv_bias=jax.random.normal(ks[2], (3 * c,)) * 0.1,
+        proj_kernel=jax.random.normal(ks[3], (c, c)) * 0.1,
+        proj_bias=jax.random.normal(ks[4], (c,)) * 0.1,
+        bias_table=jax.random.normal(ks[5], (table, heads)) * 0.1,
+    )
+
+
+CASES = [
+    # (H, W, C, heads, window, shift) — divisible and padded grids
+    (14, 14, 16, 2, (7, 7), (0, 0)),
+    (14, 14, 16, 2, (7, 7), (3, 3)),
+    (16, 16, 16, 2, (7, 7), (0, 0)),   # pad 16 -> 21
+    (16, 16, 16, 2, (7, 7), (3, 3)),   # pad + shift masks
+    (10, 12, 24, 3, (5, 5), (2, 2)),   # asymmetric + window 5
+    (7, 7, 16, 2, (7, 7), (3, 3)),     # single window: shift dropped
+]
+
+
+@pytest.mark.parametrize("h,w,c,heads,window,shift", CASES)
+def test_forward_matches_xla_path(h, w, c, heads, window, shift):
+    inp = _make_inputs(jax.random.PRNGKey(0), 2, h, w, c, heads, window)
+    kw = dict(window_size=window, shift_size=shift, num_heads=heads)
+    want = shifted_window_attention(
+        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
+        inp["proj_bias"], inp["bias_table"], **kw)
+    got = fwa.fused_shifted_window_attention(
+        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
+        inp["proj_bias"], inp["bias_table"], **kw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("h,w,c,heads,window,shift", [
+    (14, 14, 16, 2, (7, 7), (3, 3)),
+    (16, 16, 16, 2, (7, 7), (3, 3)),
+])
+def test_vjp_matches_xla_path(h, w, c, heads, window, shift):
+    inp = _make_inputs(jax.random.PRNGKey(1), 2, h, w, c, heads, window)
+    kw = dict(window_size=window, shift_size=shift, num_heads=heads)
+
+    def loss(fn, p):
+        out = fn(p["x"], p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+                 p["proj_bias"], p["bias_table"], **kw)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(lambda p: loss(shifted_window_attention, p))(inp)
+    g_fus = jax.grad(
+        lambda p: loss(fwa.fused_shifted_window_attention, p))(inp)
+    for key in inp:
+        np.testing.assert_allclose(
+            np.asarray(g_fus[key]), np.asarray(g_ref[key]),
+            atol=3e-5, rtol=3e-5, err_msg=key)
+
+
+def test_model_flag_routes_to_fused_kernel(monkeypatch):
+    """``use_pallas=True`` (TPU.USE_PALLAS_ATTENTION) hits the kernel."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+
+    calls = {"n": 0}
+    real = fwa._fwd_pallas
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fwa, "_fwd_pallas", counting)
+    model = MSUNet(img_size=32, embed_dim=8, depths=(1, 1, 1, 1),
+                   num_heads=(1, 1, 1, 1), window_size=4, use_pallas=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, True)
+    model.apply(params, x, True)
+    assert calls["n"] > 0
+
+
+def test_supported_gates():
+    assert fwa.supported((2, 14, 14, 16), (7, 7), 2)
+    # dropout active -> XLA path
+    assert not fwa.supported((2, 14, 14, 16), (7, 7), 2,
+                             attention_dropout=0.1, deterministic=False)
+    # head_dim not sliceable
+    assert not fwa.supported((2, 14, 14, 18), (7, 7), 2)
