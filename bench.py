@@ -57,6 +57,10 @@ def main():
                     help="exact erf GELU (reference parity mode); default "
                          "benchmarks the tanh-GELU deployment config "
                          "(TPU.GELU_TANH, ~2.2x faster on the VPU)")
+    ap.add_argument("--pallas_attn", action="store_true",
+                    help="fused Pallas window-attention kernel "
+                         "(TPU.USE_PALLAS_ATTENTION): flash-style backward, "
+                         "no saved probs tensors")
     ap.add_argument("--no_fused_head", action="store_true",
                     help="disable the Pallas fused GELU+depth-to-space head "
                          "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
@@ -111,6 +115,7 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
+                       use_pallas=args.pallas_attn,
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch

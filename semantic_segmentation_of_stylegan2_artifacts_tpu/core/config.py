@@ -230,7 +230,11 @@ def default_config() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"  # bfloat16 | float32
     c.TPU.SOFTMAX_DTYPE = "float32"  # float32 (parity) | bfloat16 (+~4% speed)
-    c.TPU.USE_PALLAS_ATTENTION = False
+    # Fused Pallas window attention (ops/fused_window_attention.py):
+    # flash-style backward, no saved probs tensors. +16% train step at
+    # 512^2 b8 (24.1 -> 28.0 img/s, r2); numerics exact vs the XLA path.
+    # Auto-falls back off-TPU / when attention dropout is active.
+    c.TPU.USE_PALLAS_ATTENTION = True
     c.TPU.ATTN_WINDOW_GROUP = 0  # 0 => auto; 1 => per-window matmuls; n => n windows/matmul
     c.TPU.HOLD_WINDOW_LAYOUT = False  # window-major layout held across a stage (v5e: loses, pads feed the MLPs)
     c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)

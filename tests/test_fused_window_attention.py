@@ -47,6 +47,7 @@ CASES = [
     (16, 16, 16, 2, (7, 7), (3, 3)),   # pad + shift masks
     (10, 12, 24, 3, (5, 5), (2, 2)),   # asymmetric + window 5
     (7, 7, 16, 2, (7, 7), (3, 3)),     # single window: shift dropped
+    (7, 77, 16, 2, (7, 7), (3, 0)),    # 11 windows/strip: two groups [10,1]
 ]
 
 
