@@ -24,9 +24,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows of the input grid processed per program (2 keeps the bwd kernel's
-# f32 temporaries under the 16 MB scoped-vmem stack limit at W=128, C16=2048)
-_ROWS = 2
+# per-program element budget: rows*W*16C <= this keeps the bwd kernel's
+# f32 temporaries under the 16 MB scoped-vmem stack limit (measured:
+# rows=2 fits at W=128/C16=2048; rows=4 and W=256 both overflow)
+_ELEM_BUDGET = 2 * 128 * 2048
+
+
+def _rows_for(h: int, w: int, c16: int) -> int:
+    """Largest power-of-2 row count within budget that divides ``h``."""
+    rows = max(1, _ELEM_BUDGET // max(1, w * c16))
+    while rows > 1 and (h % rows or rows & (rows - 1)):
+        rows -= 1
+    return max(1, rows)
 
 # tests flip this to run the kernels in the Pallas interpreter on CPU
 INTERPRET = False
@@ -47,9 +56,9 @@ def _gelu_tanh_grad_f32(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
 
 
-def _fwd_kernel(x_ref, o_ref, *, w: int, c: int):
-    # x_ref: (1, _ROWS, W, 16C); o_ref: (1, 4*_ROWS, 4W, C)
-    for hi in range(_ROWS):
+def _fwd_kernel(x_ref, o_ref, *, w: int, c: int, rows: int):
+    # x_ref: (1, rows, W, 16C); o_ref: (1, 4*rows, 4W, C)
+    for hi in range(rows):
         row = x_ref[0, hi].astype(jnp.float32)  # (W, 16C)
         row = _gelu_tanh_f32(row)
         x4 = row.reshape(w, 4, 4, c)  # (W, p1, p2, C)
@@ -60,9 +69,9 @@ def _fwd_kernel(x_ref, o_ref, *, w: int, c: int):
             )
 
 
-def _bwd_kernel(x_ref, g_ref, dx_ref, *, w: int, c: int):
-    # x_ref/dx_ref: (1, _ROWS, W, 16C); g_ref: (1, 4*_ROWS, 4W, C)
-    for hi in range(_ROWS):
+def _bwd_kernel(x_ref, g_ref, dx_ref, *, w: int, c: int, rows: int):
+    # x_ref/dx_ref: (1, rows, W, 16C); g_ref: (1, 4*rows, 4W, C)
+    for hi in range(rows):
         planes = []
         for p1 in range(4):
             gp = g_ref[0, hi * 4 + p1].astype(jnp.float32)  # (4W, C)
@@ -76,14 +85,15 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, w: int, c: int):
 def _fwd_pallas(x: jax.Array) -> jax.Array:
     b, h, w, c16 = x.shape
     c = c16 // 16
-    grid = (b, h // _ROWS)
+    rows = _rows_for(h, w, c16)
+    grid = (b, h // rows)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, w=w, c=c),
+        functools.partial(_fwd_kernel, w=w, c=c, rows=rows),
         out_shape=jax.ShapeDtypeStruct((b, 4 * h, 4 * w, c), x.dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+        in_specs=[pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 4 * _ROWS, 4 * w, c),
+        out_specs=pl.BlockSpec((1, 4 * rows, 4 * w, c),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
@@ -93,18 +103,19 @@ def _fwd_pallas(x: jax.Array) -> jax.Array:
 def _bwd_pallas(x: jax.Array, g: jax.Array) -> jax.Array:
     b, h, w, c16 = x.shape
     c = c16 // 16
-    grid = (b, h // _ROWS)
+    rows = _rows_for(h, w, c16)
+    grid = (b, h // rows)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, w=w, c=c),
+        functools.partial(_bwd_kernel, w=w, c=c, rows=rows),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * _ROWS, 4 * w, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 4 * rows, 4 * w, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _ROWS, w, c16), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
     )(x, g)
@@ -136,7 +147,7 @@ def supported(x_shape, gelu_tanh: bool) -> bool:
     if not gelu_tanh:
         return False
     b, h, w, c16 = x_shape
-    if h % _ROWS or c16 % 16:
+    if c16 % 16 or h % _rows_for(h, w, c16):
         return False
     if INTERPRET:
         return True

@@ -61,10 +61,13 @@ def test_vjp_matches_composed_path():
 def test_supported_gates():
     # erf (strict-parity) mode keeps the composed XLA path
     assert not fused_head.supported((1, 8, 8, 32), gelu_tanh=False)
-    # row count must divide the strip height, channels must carry 4x4 blocks
-    assert not fused_head.supported((1, fused_head._ROWS + 1, 8, 32),
-                                    gelu_tanh=True)
+    # channels must carry 4x4 blocks
     assert not fused_head.supported((1, 8, 8, 24), gelu_tanh=True)
+    # strip rows adapt to width (vmem stack budget) and divide H
+    assert fused_head._rows_for(128, 128, 2048) == 2
+    assert fused_head._rows_for(256, 256, 2048) == 1
+    for h in (7, 8, 128):
+        assert h % fused_head._rows_for(h, 8, 32) == 0
     # INTERPRET mode (patched on) admits CPU
     assert fused_head.supported((1, 8, 8, 32), gelu_tanh=True)
 
