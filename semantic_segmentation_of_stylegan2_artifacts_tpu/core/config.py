@@ -240,6 +240,9 @@ def default_config() -> CfgNode:
     c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)
     c.TPU.FUSED_HEAD = True  # Pallas fused GELU+depth-to-space in the up_x4 head
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
+    c.TPU.SPATIAL_AXIS = ""  # mesh axis for token-grid H sharding ("" = off;
+    # set to "space" with a make_mesh(n_space>1) mesh for spatial/sequence
+    # parallelism — XLA SPMD inserts the halo collectives)
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2
     c.TPU.EVAL_BATCH = 1  # >1 batches validation (exact per-case metrics)

@@ -79,11 +79,26 @@ class MSUNetSys(nn.Module):
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
     fused_head: bool = False  # Pallas fused GELU+depth-to-space in up_x4
+    # mesh axis name for spatial (token-grid H) sharding; "" = off.  When
+    # set, activations get sharding constraints at stage boundaries and
+    # XLA SPMD inserts the halo collectives (windows/shifts/merges/convs).
+    # Pallas kernels are bypassed in this mode (custom calls aren't
+    # auto-partitioned).
+    spatial_axis: str = ""
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
     def _stage_remat(self, dim: int) -> bool:
         return self.use_remat or (self.remat_high_res and dim <= 256)
+
+    def _sc(self, x: jax.Array) -> jax.Array:
+        """Spatial sharding constraint on the H axis of an NHWC map."""
+        if not self.spatial_axis:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(*([None, self.spatial_axis] + [None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, spec)
 
     def setup(self):
         nl = len(self.depths)  # num layers (4)
@@ -96,7 +111,7 @@ class MSUNetSys(nn.Module):
             drop=self.drop_rate,
             attn_drop=self.attn_drop_rate,
             remat_policy=self.remat_policy,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and not self.spatial_axis,
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
@@ -222,7 +237,7 @@ class MSUNetSys(nn.Module):
 
     # -- encoder with in-pass cent decoders --------------------------------
     def forward_features(self, x, deterministic):
-        x = self.patch_embed(x)
+        x = self._sc(self.patch_embed(x))
         x = self.pos_drop(x, deterministic=deterministic)
         skips: List[jax.Array] = []
         nl = len(self.depths)
@@ -250,7 +265,7 @@ class MSUNetSys(nn.Module):
                         skips[i_layer - i] = x1
                         x1 = stage(x1, deterministic)
             skips.append(x)
-            x = self.layers[i_layer](x, deterministic)
+            x = self._sc(self.layers[i_layer](x, deterministic))
         x = self.norm(x)
         return x, skips
 
@@ -259,11 +274,11 @@ class MSUNetSys(nn.Module):
         nl = len(self.depths)
         for inx, layer_up in enumerate(self.layers_up):
             if inx == 0:
-                x = layer_up(x)
+                x = self._sc(layer_up(x))
             else:
                 x = jnp.concatenate([x, skips[nl - 1 - inx]], axis=-1)
                 x = self.concat_back_dim[inx](x)
-                x = layer_up(x, deterministic)
+                x = self._sc(layer_up(x, deterministic))
         x = self.norm_up(x)
         return x
 
@@ -315,6 +330,7 @@ class MSUNet(nn.Module):
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
     fused_head: bool = False  # Pallas fused GELU+depth-to-space in up_x4
+    spatial_axis: str = ""  # mesh axis for token-grid H sharding ("" = off)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -363,6 +379,7 @@ class MSUNet(nn.Module):
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
             fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
+            spatial_axis=str(getattr(config.TPU, "SPATIAL_AXIS", "")),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
                            else jnp.float32),
@@ -393,6 +410,7 @@ class MSUNet(nn.Module):
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
             fused_head=self.fused_head,
+            spatial_axis=self.spatial_axis,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
             name="msunet",

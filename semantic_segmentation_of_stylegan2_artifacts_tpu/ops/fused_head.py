@@ -4,12 +4,16 @@ The reference head (``network/model_parts.py:437-476``,
 ``FinalPatchExpand_X4_V2``) runs Linear(C->16C) -> GELU -> x4
 depth-to-space -> convs.  Measured on v5e at 512^2 batch 8, the unfused
 XLA path costs ~7.4 ms forward for the GELU + relayout alone (each op is
-a separate HBM round-trip over a 268 MB tensor; XLA does not fuse
-elementwise producers into transposes here).  This kernel does both in
-one HBM pass: read a row-strip, tanh-GELU in VMEM (f32 math), relayout
-4x4 channel blocks onto the spatial grid in VMEM, write the expanded
-strip.  Backward is the mirror kernel: space-to-depth gather of the
-cotangent fused with the GELU derivative.
+a separate HBM round-trip over a 268 MB tensor).  This kernel does both
+in one HBM pass: read a row segment, tanh-GELU in VMEM (f32 math),
+relayout 4x4 channel blocks onto the spatial grid in VMEM, write the
+expanded segment.  Backward is the mirror kernel: space-to-depth gather
+of the cotangent fused with the GELU derivative.
+
+The grid is (batch, row, width-chunk) with one input row per program
+and the width chunked so a program's f32 temporaries stay well inside
+the 16 MB scoped-vmem stack at any resolution (512^2's W=128 two-row
+strips and 1024^2's W=256 single rows both measured at/over the limit).
 
 Only the tanh-GELU deployment mode is fused (``TPU.GELU_TANH``); the
 exact-erf parity mode keeps the composed XLA path.
@@ -24,23 +28,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-program element budget: rows*W*16C <= this keeps the bwd kernel's
-# f32 temporaries under the 16 MB scoped-vmem stack limit (measured:
-# rows=2 fits at W=128/C16=2048; rows=4 and W=256 both overflow)
-_ELEM_BUDGET = 2 * 128 * 2048
-
-
-def _rows_for(h: int, w: int, c16: int) -> int:
-    """Largest power-of-2 row count within budget that divides ``h``."""
-    rows = max(1, _ELEM_BUDGET // max(1, w * c16))
-    while rows > 1 and (h % rows or rows & (rows - 1)):
-        rows -= 1
-    return max(1, rows)
-
 # tests flip this to run the kernels in the Pallas interpreter on CPU
 INTERPRET = False
 _SQRT_2_OVER_PI = 0.7978845608028654
 _KAPPA = 0.044715
+
+# max elements of one (w_chunk, 16C) input segment — keeps each program's
+# f32 temporaries a few MB under the 16 MB scoped-vmem stack
+_CHUNK_ELEMS = 128 * 2048
+
+
+def _chunk_for(w: int, c16: int) -> int:
+    """Largest divisor of ``w`` whose segment fits the element budget."""
+    cap = max(1, _CHUNK_ELEMS // max(1, c16))
+    for wc in range(min(w, cap), 0, -1):
+        if w % wc == 0:
+            return wc
+    return 1
 
 
 def _gelu_tanh_f32(x):
@@ -56,45 +60,42 @@ def _gelu_tanh_grad_f32(x):
     return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
 
 
-def _fwd_kernel(x_ref, o_ref, *, w: int, c: int, rows: int):
-    # x_ref: (1, rows, W, 16C); o_ref: (1, 4*rows, 4W, C)
-    for hi in range(rows):
-        row = x_ref[0, hi].astype(jnp.float32)  # (W, 16C)
-        row = _gelu_tanh_f32(row)
-        x4 = row.reshape(w, 4, 4, c)  # (W, p1, p2, C)
-        for p1 in range(4):
-            # rows w*4+p2 of output plane p1 <- x4[w, p1, p2]
-            o_ref[0, hi * 4 + p1] = (
-                x4[:, p1].reshape(4 * w, c).astype(o_ref.dtype)
-            )
+def _fwd_kernel(x_ref, o_ref, *, wc: int, c: int):
+    # x_ref: (1, 1, wc, 16C); o_ref: (1, 4, 4*wc, C)
+    row = x_ref[0, 0].astype(jnp.float32)  # (wc, 16C)
+    row = _gelu_tanh_f32(row)
+    x4 = row.reshape(wc, 4, 4, c)  # (wc, p1, p2, C)
+    for p1 in range(4):
+        # output plane p1, columns 4*w+p2 <- x4[w, p1, p2]
+        o_ref[0, p1] = x4[:, p1].reshape(4 * wc, c).astype(o_ref.dtype)
 
 
-def _bwd_kernel(x_ref, g_ref, dx_ref, *, w: int, c: int, rows: int):
-    # x_ref/dx_ref: (1, rows, W, 16C); g_ref: (1, 4*rows, 4W, C)
-    for hi in range(rows):
-        planes = []
-        for p1 in range(4):
-            gp = g_ref[0, hi * 4 + p1].astype(jnp.float32)  # (4W, C)
-            planes.append(gp.reshape(w, 4, c))  # (W, p2, C)
-        g4 = jnp.stack(planes, axis=1)  # (W, p1, p2, C)
-        gflat = g4.reshape(w, 16 * c)
-        x = x_ref[0, hi].astype(jnp.float32)
-        dx_ref[0, hi] = (gflat * _gelu_tanh_grad_f32(x)).astype(dx_ref.dtype)
+def _bwd_kernel(x_ref, g_ref, dx_ref, *, wc: int, c: int):
+    # x_ref/dx_ref: (1, 1, wc, 16C); g_ref: (1, 4, 4*wc, C)
+    planes = []
+    for p1 in range(4):
+        gp = g_ref[0, p1].astype(jnp.float32)  # (4*wc, C)
+        planes.append(gp.reshape(wc, 4, c))  # (wc, p2, C)
+    g4 = jnp.stack(planes, axis=1)  # (wc, p1, p2, C)
+    gflat = g4.reshape(wc, 16 * c)
+    x = x_ref[0, 0].astype(jnp.float32)
+    dx_ref[0, 0] = (gflat * _gelu_tanh_grad_f32(x)).astype(dx_ref.dtype)
 
 
 def _fwd_pallas(x: jax.Array) -> jax.Array:
     b, h, w, c16 = x.shape
     c = c16 // 16
-    rows = _rows_for(h, w, c16)
-    grid = (b, h // rows)
+    wc = _chunk_for(w, c16)
+    grid = (b, h, w // wc)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, w=w, c=c, rows=rows),
+        functools.partial(_fwd_kernel, wc=wc, c=c),
         out_shape=jax.ShapeDtypeStruct((b, 4 * h, 4 * w, c), x.dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
+        in_specs=[pl.BlockSpec((1, 1, wc, c16),
+                               lambda i, j, k: (i, j, k, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 4 * rows, 4 * w, c),
-                               lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 4, 4 * wc, c),
+                               lambda i, j, k: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
     )(x)
@@ -103,19 +104,19 @@ def _fwd_pallas(x: jax.Array) -> jax.Array:
 def _bwd_pallas(x: jax.Array, g: jax.Array) -> jax.Array:
     b, h, w, c16 = x.shape
     c = c16 // 16
-    rows = _rows_for(h, w, c16)
-    grid = (b, h // rows)
+    wc = _chunk_for(w, c16)
+    grid = (b, h, w // wc)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, w=w, c=c, rows=rows),
+        functools.partial(_bwd_kernel, wc=wc, c=c),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, wc, c16), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * rows, 4 * w, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 4, 4 * wc, c), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, w, c16), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, wc, c16), lambda i, j, k: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
     )(x, g)
@@ -143,11 +144,11 @@ fused_gelu_d2s4.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def supported(x_shape, gelu_tanh: bool) -> bool:
-    """Kernel applicability: TPU backend, tanh mode, grid shape fits."""
+    """Kernel applicability: TPU backend, tanh mode, 16x channel blocks."""
     if not gelu_tanh:
         return False
     b, h, w, c16 = x_shape
-    if c16 % 16 or h % _rows_for(h, w, c16):
+    if c16 % 16:
         return False
     if INTERPRET:
         return True

@@ -25,16 +25,31 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_space: int = 1,
 ) -> Mesh:
-    """Mesh with axes ('data', 'model'); defaults to all devices on data."""
+    """Mesh with axes ('data', 'model'[, 'space']); defaults all on data.
+
+    ``n_space > 1`` adds a third axis for spatial (token-grid H)
+    sharding — the sequence-parallel analog for this model family
+    (SURVEY §5 long-context): activations carry
+    ``with_sharding_constraint(P(None, 'space', ...))`` annotations at
+    stage boundaries (``MSUNetSys.spatial_axis``) and XLA's SPMD
+    partitioner inserts the halo/permute collectives for windows,
+    shifts, merges and the 3x3 head convs.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    per = n_model * n_space
     if n_data is None or n_data <= 0:
-        n_data = len(devices) // n_model
-    use = n_data * n_model
+        n_data = len(devices) // per
+    use = n_data * per
     if use > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} needs {use} devices, have {len(devices)}"
+            f"mesh {n_data}x{n_model}x{n_space} needs {use} devices, "
+            f"have {len(devices)}"
         )
+    if n_space > 1:
+        arr = np.array(devices[:use]).reshape(n_data, n_model, n_space)
+        return Mesh(arr, axis_names=("data", "model", "space"))
     arr = np.array(devices[:use]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 

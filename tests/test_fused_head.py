@@ -63,11 +63,12 @@ def test_supported_gates():
     assert not fused_head.supported((1, 8, 8, 32), gelu_tanh=False)
     # channels must carry 4x4 blocks
     assert not fused_head.supported((1, 8, 8, 24), gelu_tanh=True)
-    # strip rows adapt to width (vmem stack budget) and divide H
-    assert fused_head._rows_for(128, 128, 2048) == 2
-    assert fused_head._rows_for(256, 256, 2048) == 1
-    for h in (7, 8, 128):
-        assert h % fused_head._rows_for(h, 8, 32) == 0
+    # width chunks stay inside the vmem stack budget and divide W
+    assert fused_head._chunk_for(128, 2048) == 128
+    assert fused_head._chunk_for(256, 2048) == 128
+    for w in (7, 8, 128, 256, 384):
+        wc = fused_head._chunk_for(w, 2048)
+        assert w % wc == 0 and wc * 2048 <= fused_head._CHUNK_ELEMS
     # INTERPRET mode (patched on) admits CPU
     assert fused_head.supported((1, 8, 8, 32), gelu_tanh=True)
 

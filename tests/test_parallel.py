@@ -66,6 +66,42 @@ def test_dp_step_runs_sharded(tiny):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_spatial_sharded_step_matches_unsharded(tiny):
+    """dp x sp: token-grid H sharded over 'space'; loss equals unsharded.
+
+    The model carries ``spatial_axis='space'`` sharding constraints at
+    stage boundaries; XLA SPMD inserts the halo collectives for windows,
+    shifted rolls, patch merges and the head convs.
+    """
+    model, c, state = tiny
+    sp_model = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
+                      num_heads=(2, 2, 2, 2), window_size=4,
+                      spatial_axis="space")
+    mesh = make_mesh(n_data=2, n_model=1, n_space=4)
+    assert mesh.shape == {"data": 2, "model": 1, "space": 4}
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (4, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(4, 32, 32) > 0.8).astype(np.uint8)
+
+    base_step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    _, loss_ref = base_step(state, jnp.asarray(img), jnp.asarray(lbl),
+                            jnp.asarray(1e-3))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sp_step = make_train_step(sp_model, 0.2, 0.8, 0.45, donate=False)
+    state_r = replicate_state(state, mesh)
+    img_s = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("data")))
+    lbl_s = jax.device_put(jnp.asarray(lbl), NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        new_state, loss_sp = sp_step(state_r, img_s, lbl_s,
+                                     jnp.asarray(1e-3))
+    assert np.isfinite(float(loss_sp))
+    np.testing.assert_allclose(float(loss_sp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_dp_matches_single_device(tiny):
     """Same global batch: sharded-8 and single-device runs agree."""
     model, c, state = tiny
