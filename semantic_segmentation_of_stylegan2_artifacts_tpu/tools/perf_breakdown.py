@@ -39,6 +39,9 @@ def _timeit(fn, *args, iters=20, warmup=2):
 
 
 def main():
+    from ..utils.platform import apply_platform_override
+
+    apply_platform_override()  # honor SSA_TPU_PLATFORM like the CLIs
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
