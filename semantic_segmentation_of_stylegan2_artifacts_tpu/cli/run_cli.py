@@ -1,18 +1,28 @@
-"""``python run.py`` — sequential hyperparameter grid search.
+"""``python run.py`` — hyperparameter grid search driver.
 
 Mirrors the reference driver (reference ``run.py``): three sweeps in
 order (attention-dropout -> Tversky alpha (beta = 1 - alpha) ->
 learning-rate), each trial mutating ``config.yaml`` in place through the
 round-trip editor, shelling out to ``train.py``, then ranking trials by
 the max of the ``Score`` column in ``val_metric_all_epoch.csv``.
+
+Beyond the reference: ``--jobs N`` runs the trials *within* each sweep
+concurrently (the sweeps themselves stay sequential — each consumes the
+previous winner).  Parallel trials each get their own copy of the config
+(no shared-file mutation race) and a per-slot environment from
+``--slot_env "VAR={slot}"`` templates, so trials can be pinned to
+distinct devices/hosts (e.g. ``--slot_env CUDA_VISIBLE_DEVICES={slot}``
+off-TPU, or distinct ``SSA_TPU_PLATFORM``/coordinator settings).
 """
 
 from __future__ import annotations
 
 import argparse
+import concurrent.futures as cf
 import csv
 import logging
 import os
+import shutil
 import subprocess
 import sys
 from pathlib import Path
@@ -50,8 +60,14 @@ def best_score_from_csv(path: Path, column: str = METRIC_COL) -> Optional[float]
 
 
 def run_trial(cfg_path: str, out_dir: Path, overrides, python: str,
-              train_py: str, env=None) -> float:
+              train_py: str, env=None, copy_cfg: bool = False) -> float:
     out_dir.mkdir(parents=True, exist_ok=True)
+    if copy_cfg:
+        # isolated config per trial: parallel trials must not race on one
+        # shared YAML (the reference's in-place mutation is sequential-only)
+        trial_cfg = out_dir / "trial_config.yaml"
+        shutil.copyfile(cfg_path, trial_cfg)
+        cfg_path = str(trial_cfg)
     parser = ConfigParser(cfg_path)
     parser.set_value("OUTPUT_DIR", str(out_dir))
     for path, value in overrides:
@@ -69,6 +85,37 @@ def run_trial(cfg_path: str, out_dir: Path, overrides, python: str,
     return best
 
 
+def run_sweep(trials, python: str, train_py: str, cfg_path: str,
+              jobs: int = 1, slot_env=()) -> dict:
+    """Run ``trials`` (list of (key, out_dir, overrides)) -> {key: score}.
+
+    ``jobs > 1`` dispatches trials to a thread pool (each trial is a
+    subprocess; threads only wait).  Slot ``i % jobs`` formats every
+    ``slot_env`` template (``VAR={slot}``) into the trial's environment.
+    """
+    if jobs <= 1:
+        return {
+            key: run_trial(cfg_path, out, ov, python, train_py)
+            for key, out, ov in trials
+        }
+
+    def one(i, key, out, ov):
+        env = os.environ.copy()
+        for template in slot_env:
+            var, _, val = template.partition("=")
+            env[var] = val.format(slot=i % jobs)
+        return key, run_trial(cfg_path, out, ov, python, train_py,
+                              env=env, copy_cfg=True)
+
+    scores = {}
+    with cf.ThreadPoolExecutor(jobs) as pool:
+        futs = [pool.submit(one, i, *t) for i, t in enumerate(trials)]
+        for fut in futs:
+            key, score = fut.result()
+            scores[key] = score
+    return scores
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", default="./config.yaml")
@@ -81,6 +128,12 @@ def main(argv=None):
     ap.add_argument("--weight_decay", type=float, default=0.001)
     ap.add_argument("--drop_path", type=float, default=0.1)
     ap.add_argument("--drop_rate", type=float, default=0.0)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="concurrent trials per sweep (1 = reference-"
+                         "sequential); >1 copies the config per trial")
+    ap.add_argument("--slot_env", action="append", default=[],
+                    help="env template per job slot, e.g. "
+                         "'CUDA_VISIBLE_DEVICES={slot}' (repeatable)")
     args = ap.parse_args(argv)
 
     root_out = Path(args.root_out)
@@ -94,64 +147,49 @@ def main(argv=None):
         ("MODEL.DROP_PATH_RATE", dp),
     ]
 
+    def sweep(name, trials):
+        logging.info(name)
+        scores = run_sweep(trials, args.python, args.train_py, args.cfg,
+                           jobs=args.jobs, slot_env=args.slot_env)
+        for key, score in scores.items():
+            logging.info(f"{name} {key}: result {score}")
+        return max(scores, key=scores.get)
+
     # -------- sweep 1: attention dropout --------
-    logging.info("Attention drop search:")
-    scores = {}
-    for attn_drop in args.attn_drop:
-        out = root_out / (
-            f"drop_path{dp:.2f}_drop_rate{dr:.2f}_attn_drop{attn_drop:.2f}"
-        )
-        score = run_trial(
-            args.cfg, out,
-            base + [("MODEL.ATTN_DROP_RATE", attn_drop),
-                    ("TRAIN.TVERSKY_LOSS_ALPHA", 0.2),
-                    ("TRAIN.TVERSKY_LOSS_BETA", 0.8)],
-            args.python, args.train_py,
-        )
-        scores[attn_drop] = score
-        logging.info(f"attn_drop {attn_drop}: result {score}")
-    best_att = max(scores, key=scores.get)
+    best_att = sweep("Attention drop search:", [
+        (attn_drop,
+         root_out / (f"drop_path{dp:.2f}_drop_rate{dr:.2f}"
+                     f"_attn_drop{attn_drop:.2f}"),
+         base + [("MODEL.ATTN_DROP_RATE", attn_drop),
+                 ("TRAIN.TVERSKY_LOSS_ALPHA", 0.2),
+                 ("TRAIN.TVERSKY_LOSS_BETA", 0.8)])
+        for attn_drop in args.attn_drop
+    ])
     logging.info(f"Best attention drop {best_att}")
 
     # -------- sweep 2: Tversky alpha (beta = 1 - alpha) --------
-    logging.info("Alpha refine:")
-    scores = {}
-    for alpha in args.alpha:
-        beta = 1 - alpha
-        out = root_out / (
-            f"alpha_{alpha:.2f}_drop_path{dp:.2f}_drop_rate{dr:.2f}"
-            f"_attn_drop{best_att:.2f}"
-        )
-        score = run_trial(
-            args.cfg, out,
-            base + [("MODEL.ATTN_DROP_RATE", best_att),
-                    ("TRAIN.TVERSKY_LOSS_ALPHA", alpha),
-                    ("TRAIN.TVERSKY_LOSS_BETA", beta)],
-            args.python, args.train_py,
-        )
-        scores[alpha] = score
-        logging.info(f"alpha {alpha}: result {score}")
-    best_alpha = max(scores, key=scores.get)
+    best_alpha = sweep("Alpha refine:", [
+        (alpha,
+         root_out / (f"alpha_{alpha:.2f}_drop_path{dp:.2f}"
+                     f"_drop_rate{dr:.2f}_attn_drop{best_att:.2f}"),
+         base + [("MODEL.ATTN_DROP_RATE", best_att),
+                 ("TRAIN.TVERSKY_LOSS_ALPHA", alpha),
+                 ("TRAIN.TVERSKY_LOSS_BETA", 1 - alpha)])
+        for alpha in args.alpha
+    ])
     logging.info(f"Best alpha {best_alpha}")
 
     # -------- sweep 3: learning rate --------
-    logging.info("LR search:")
-    scores = {}
-    for lr in args.lr:
-        out = root_out / (
-            f"lr_{lr:.2e}_alpha_{best_alpha:.2f}_attn_drop{best_att:.2f}"
-        )
-        score = run_trial(
-            args.cfg, out,
-            base + [("MODEL.ATTN_DROP_RATE", best_att),
-                    ("TRAIN.TVERSKY_LOSS_ALPHA", best_alpha),
-                    ("TRAIN.TVERSKY_LOSS_BETA", 1 - best_alpha),
-                    ("TRAIN.BASE_LR", lr)],
-            args.python, args.train_py,
-        )
-        scores[lr] = score
-        logging.info(f"lr {lr}: result {score}")
-    best_lr = max(scores, key=scores.get)
+    best_lr = sweep("LR search:", [
+        (lr,
+         root_out / (f"lr_{lr:.2e}_alpha_{best_alpha:.2f}"
+                     f"_attn_drop{best_att:.2f}"),
+         base + [("MODEL.ATTN_DROP_RATE", best_att),
+                 ("TRAIN.TVERSKY_LOSS_ALPHA", best_alpha),
+                 ("TRAIN.TVERSKY_LOSS_BETA", 1 - best_alpha),
+                 ("TRAIN.BASE_LR", lr)])
+        for lr in args.lr
+    ])
     logging.info(f"Best lr {best_lr}")
     print(f"BEST: attn_drop={best_att} alpha={best_alpha} lr={best_lr}")
     return best_att, best_alpha, best_lr

@@ -138,3 +138,48 @@ def test_best_score_from_csv(tmp_path):
     q = tmp_path / "empty.csv"
     q.write_text("epoch,Score\n")
     assert best_score_from_csv(q) is None
+
+
+def test_run_sweep_parallel_trials(tmp_path):
+    """--jobs>1: per-trial config copies, slot envs, correct argmax."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.cli.run_cli import (
+        run_sweep,
+    )
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        "OUTPUT_DIR: './out'\n"
+        "TRAIN:\n  TVERSKY_LOSS_ALPHA: 0.2\n  TVERSKY_LOSS_BETA: 0.8\n"
+    )
+    # stub train.py: reads its cfg, scores Score = ALPHA + slot/100
+    stub = tmp_path / "stub_train.py"
+    stub.write_text(
+        "import argparse, os, re, sys\n"
+        "ap = argparse.ArgumentParser(); ap.add_argument('--cfg')\n"
+        "a = ap.parse_args()\n"
+        "text = open(a.cfg).read()\n"
+        "out = re.search(r\"OUTPUT_DIR: '?([^'\\n]+)'?\", text).group(1)\n"
+        "alpha = float(re.search(r'TVERSKY_LOSS_ALPHA: ([0-9.]+)', text)"
+        ".group(1))\n"
+        "slot = int(os.environ.get('TRIAL_SLOT', '0'))\n"
+        "os.makedirs(out, exist_ok=True)\n"
+        "with open(os.path.join(out, 'val_metric_all_epoch.csv'), 'w') as f:\n"
+        "    f.write('epoch,Score\\n1,%s\\n' % (alpha + slot / 100.0))\n"
+    )
+    import sys
+
+    trials = [
+        (alpha, tmp_path / f"trial_{alpha}",
+         [("TRAIN.TVERSKY_LOSS_ALPHA", alpha)])
+        for alpha in (0.1, 0.5, 0.3)
+    ]
+    scores = run_sweep(trials, sys.executable, str(stub), str(cfg),
+                       jobs=2, slot_env=["TRIAL_SLOT={slot}"])
+    assert set(scores) == {0.1, 0.5, 0.3}
+    assert max(scores, key=scores.get) == 0.5
+    # per-trial config copies exist and the shared config was not mutated
+    for alpha in (0.1, 0.5, 0.3):
+        assert (tmp_path / f"trial_{alpha}" / "trial_config.yaml").exists()
+    assert "TVERSKY_LOSS_ALPHA: 0.2" in cfg.read_text()
+    # slot envs were applied (some trial got slot 1's +0.01 bump)
+    assert any(abs(v - (k + 0.01)) < 1e-9 for k, v in scores.items())
