@@ -57,10 +57,10 @@ def main():
                     help="exact erf GELU (reference parity mode); default "
                          "benchmarks the tanh-GELU deployment config "
                          "(TPU.GELU_TANH, ~2.2x faster on the VPU)")
-    ap.add_argument("--pallas_attn", action="store_true",
-                    help="fused Pallas window-attention kernel "
-                         "(TPU.USE_PALLAS_ATTENTION): flash-style backward, "
-                         "no saved probs tensors")
+    ap.add_argument("--no_pallas_attn", action="store_true",
+                    help="disable the fused Pallas window-attention kernel "
+                         "(TPU.USE_PALLAS_ATTENTION, default on: flash-style "
+                         "backward, no saved probs tensors, +16%%)")
     ap.add_argument("--no_fused_head", action="store_true",
                     help="disable the Pallas fused GELU+depth-to-space head "
                          "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
@@ -95,13 +95,13 @@ def main():
         batch = 2
         steps, warmup = 5, 2
     else:
-        # 1024² needs remat to fit; use the dots policy there by default
+        # r2 sweep winner at 1024² (BASELINE.md): high_res remat
         mode = args.remat_mode
         if not mode:
             if args.remat:
                 mode = "full"
             elif args.img >= 1024:
-                mode = "dots"
+                mode = "high_res"
             else:
                 mode = "none"
         use_remat = mode in ("full", "dots")
@@ -115,7 +115,7 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
-                       use_pallas=args.pallas_attn,
+                       use_pallas=not args.no_pallas_attn,
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch

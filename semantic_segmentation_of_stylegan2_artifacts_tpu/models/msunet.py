@@ -348,9 +348,11 @@ class MSUNet(nn.Module):
         remat_mode = str(config.TPU.REMAT)
         size = img_size or config.DATA.IMG_SIZE
         if remat_mode == "auto":
-            # 1024² activations exceed 16GB HBM without remat; the dots
-            # policy fits it with the least recompute.
-            remat_mode = "dots" if size >= 1024 else "none"
+            # r2 sweep at 1024² batch 2 (BASELINE.md): none 5.16, dots
+            # 5.10, high_res 5.32 (best), high_res_dots 5.00, full 5.05
+            # img/s — the fused attention kernel removed the saved-probs
+            # pressure, so only the cheap stages are worth rematting.
+            remat_mode = "high_res" if size >= 1024 else "none"
         remat = bool(config.TRAIN.USE_CHECKPOINT) or remat_mode in (
             "full", "dots")
         remat_high = remat_mode == "high_res"

@@ -447,10 +447,6 @@ def fused_shifted_window_attention(
     if shifted:
         x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
 
-    qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
-    if qkv_bias is not None:
-        qkv = qkv + qkv_bias.astype(qkv.dtype)
-
     rel_idx = relative_position_index(wh, ww)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
     rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
@@ -462,6 +458,14 @@ def fused_shifted_window_attention(
     else:
         mask_np = np.zeros((nwh, nww, n, n), np.float32)
     mask = jnp.asarray(mask_np)
+
+    # (measured r2: wrapping qkv+kernel in jax.checkpoint to recompute the
+    # qkv projection in backward costs 2% at 512^2 b8 and buys nothing at
+    # b16 — XLA's own remat already handles the memory squeeze there, so
+    # the qkv map stays saved and TPU.REMAT remains the memory knob.)
+    qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(qkv.dtype)
 
     ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
 
