@@ -62,13 +62,9 @@ INTERPRET = False
 _S_CAP = 512
 
 
-def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
-    """Split ``n_win`` windows into groups of <= _S_CAP//n_tok windows."""
-    g_cap = max(1, _S_CAP // n_tok)
-    sizes = [g_cap] * (n_win // g_cap)
-    if n_win % g_cap:
-        sizes.append(n_win % g_cap)
-    return tuple(sizes)
+def _chunk_windows(n_tok: int) -> int:
+    """Windows per grid program (bounds VMEM and kernel-body unrolling)."""
+    return max(1, _S_CAP // n_tok)
 
 
 def _strip_to_wm(strip, wm_ref, wh: int, ww: int, nww: int, c3: int):
@@ -102,60 +98,55 @@ def _fwd_kernel(
     ww: int,
     heads: int,
 ):
-    _, _, wp, c3 = qkv_ref.shape
+    _, _, wcw, c3 = qkv_ref.shape  # wcw = chunk windows * ww
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nww = wp // ww
+    g = wcw // ww  # windows in this program (uniform across the grid)
+    s = g * n
     scale = hd ** -0.5
-    b_idx = pl.program_id(0)
-    i_idx = pl.program_id(1)
+    first = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0,
+    )
 
-    # probs matrix: only diagonal blocks are ever written below, so one
-    # zero-fill on the first program keeps every off-diagonal entry zero
-    # for the whole grid (group sizes only shrink within a strip, and a
-    # stale diagonal block from a larger previous group lies entirely
-    # outside the rows used by a smaller current group).
-    @pl.when(jnp.logical_and(b_idx == 0, i_idx == 0))
+    # probs matrix: only diagonal blocks are ever written below (at the
+    # same, uniform positions in every program), so one zero-fill on the
+    # first program keeps every off-diagonal entry zero for the grid.
+    @pl.when(first)
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, nww, c3)
+    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, g, c3)
 
-    w0 = 0
-    for g in _group_sizes(nww, n):
-        s = g * n
-        for h in range(heads):
-            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
-            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
-            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
-            s_ref[:s, :s] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    for h in range(heads):
+        q = wm_ref[:s, h * hd:(h + 1) * hd]
+        k = wm_ref[:s, c + h * hd:c + (h + 1) * hd]
+        v = wm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s_ref[:s, :s] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # diagonal NxN blocks -> (s, N) with bias + shift mask
+        for w in range(g):
+            p_ref[w * n:(w + 1) * n, :] = (
+                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
             )
-            # diagonal 49x49 blocks -> (s, N) with bias + shift mask
-            for w in range(g):
-                p_ref[w * n:(w + 1) * n, :] = (
-                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
-                )
-            blk = p_ref[:s, :] * scale
-            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            blk += mask_ref[0, w0:w0 + g].reshape(s, n)
-            probs = _softmax_rows(blk).astype(z_ref.dtype)
-            for w in range(g):
-                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                    probs[w * n:(w + 1) * n, :]
-                )
-            ctx = jax.lax.dot_general(
-                z_ref[:s, :s], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        blk = p_ref[:s, :] * scale
+        blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+        blk += mask_ref[0].reshape(s, n)
+        probs = _softmax_rows(blk).astype(z_ref.dtype)
+        for w in range(g):
+            z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                probs[w * n:(w + 1) * n, :]
             )
-            ow_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
-                ctx.astype(ow_ref.dtype)
-            )
-        w0 += g
+        ctx = jax.lax.dot_general(
+            z_ref[:s, :s], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ow_ref[:s, h * hd:(h + 1) * hd] = ctx.astype(ow_ref.dtype)
 
-    for w in range(nww):
+    for w in range(g):
         o_ref[0, :, w * ww:(w + 1) * ww, :] = (
             ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
         )
@@ -181,16 +172,17 @@ def _bwd_kernel(
     ww: int,
     heads: int,
 ):
-    _, _, wp, c3 = qkv_ref.shape
+    _, _, wcw, c3 = qkv_ref.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nww = wp // ww
+    g = wcw // ww
+    s = g * n
     scale = hd ** -0.5
-    b_idx = pl.program_id(0)
-    i_idx = pl.program_id(1)
-
-    first = jnp.logical_and(b_idx == 0, i_idx == 0)
+    first = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0,
+    )
 
     @pl.when(first)
     def _():
@@ -198,124 +190,124 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, nww, c3)
-    for w in range(nww):
+    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, g, c3)
+    for w in range(g):
         dcw_ref[w * n:(w + 1) * n, :] = (
             dctx_ref[0, :, w * ww:(w + 1) * ww, :].reshape(n, c)
         )
 
-    w0 = 0
-    for g in _group_sizes(nww, n):
-        s = g * n
-        for h in range(heads):
-            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
-            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
-            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
-            dctx = dcw_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+    for h in range(heads):
+        q = wm_ref[:s, h * hd:(h + 1) * hd]
+        k = wm_ref[:s, c + h * hd:c + (h + 1) * hd]
+        v = wm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        dctx = dcw_ref[:s, h * hd:(h + 1) * hd]
 
-            # recompute probs (same as forward)
-            s_ref[:s, :s] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # recompute probs (same as forward)
+        s_ref[:s, :s] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for w in range(g):
+            p_ref[w * n:(w + 1) * n, :] = (
+                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
             )
-            for w in range(g):
-                p_ref[w * n:(w + 1) * n, :] = (
-                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
-                )
-            blk = p_ref[:s, :] * scale
-            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            blk += mask_ref[0, w0:w0 + g].reshape(s, n)
-            probs = _softmax_rows(blk)
-            pz = probs.astype(z_ref.dtype)
-            for w in range(g):
-                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                    pz[w * n:(w + 1) * n, :]
-                )
+        blk = p_ref[:s, :] * scale
+        blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+        blk += mask_ref[0].reshape(s, n)
+        probs = _softmax_rows(blk)
+        pz = probs.astype(z_ref.dtype)
+        for w in range(g):
+            z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                pz[w * n:(w + 1) * n, :]
+            )
 
-            # dP (diagonal blocks of dctx @ v^T), softmax VJP, dS
-            s_ref[:s, :s] = jax.lax.dot_general(
-                dctx, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # dP (diagonal blocks of dctx @ v^T), softmax VJP, dS
+        s_ref[:s, :s] = jax.lax.dot_general(
+            dctx, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for w in range(g):
+            dp_ref[w * n:(w + 1) * n, :] = (
+                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
             )
-            for w in range(g):
-                dp_ref[w * n:(w + 1) * n, :] = (
-                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
-                )
-            dpb = dp_ref[:s, :]
-            ds = probs * (
-                dpb - jnp.sum(dpb * probs, axis=-1, keepdims=True)
+        dpb = dp_ref[:s, :]
+        ds = probs * (
+            dpb - jnp.sum(dpb * probs, axis=-1, keepdims=True)
+        )
+        # bias gradient: sum over this program's windows
+        dbias_ref[h] += jnp.sum(ds.reshape(g, n, n), axis=0)
+        dsz = ds.astype(z2_ref.dtype)
+        for w in range(g):
+            z2_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                dsz[w * n:(w + 1) * n, :]
             )
-            # bias gradient: sum over this group's windows
-            dbias_ref[h] += jnp.sum(
-                ds.reshape(g, n, n), axis=0
-            )
-            dsz = ds.astype(z2_ref.dtype)
-            for w in range(g):
-                z2_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                    dsz[w * n:(w + 1) * n, :]
-                )
 
-            # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
-            dq = jax.lax.dot_general(
-                z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            dk = jax.lax.dot_general(
-                z2_ref[:s, :s], q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            dv = jax.lax.dot_general(
-                z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = dq
-            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = dk
-            dwm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
-        w0 += g
+        # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
+        dq = jax.lax.dot_general(
+            z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            z2_ref[:s, :s], q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv = jax.lax.dot_general(
+            z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwm_ref[:s, h * hd:(h + 1) * hd] = dq
+        dwm_ref[:s, c + h * hd:c + (h + 1) * hd] = dk
+        dwm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
 
-    for w in range(nww):
+    for w in range(g):
         dqkv_ref[0, :, w * ww:(w + 1) * ww, :] = (
             dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
         ).astype(dqkv_ref.dtype)
 
 
-def _specs(b, hp, wp, c3, c, heads, n, nwh, nww):
+def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
+    """3D grid (batch, strip, width-chunk) + input specs.
+
+    Every program handles the same number of windows (the wrapper pads W
+    to a multiple of the chunk), so kernel bodies stay small no matter
+    the resolution — unbounded strip widths were killing the Mosaic
+    compiler at 1024² (37-window unrolled bodies).
+    """
+    nwh, nww = hp // wh, wp // ww
+    g = min(nww, _chunk_windows(n))
+    assert nww % g == 0, (nww, g)
+    grid = (b, nwh, nww // g)
     in_specs = [
-        pl.BlockSpec((1, hp // nwh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+        pl.BlockSpec((1, wh, g * ww, c3), lambda b_, i, k: (b_, i, k, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+        pl.BlockSpec((heads, n, n), lambda b_, i, k: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
+        pl.BlockSpec((1, g, n, n), lambda b_, i, k: (i, k, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    return in_specs
-
-
-def _scap(nww: int, n: int) -> int:
-    return max(_group_sizes(nww, n)) * n
+    return grid, in_specs, g
 
 
 def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    nwh, nww = hp // wh, wp // ww
-    s_cap = _scap(nww, n)
-    s_all = nww * n
-    grid = (b, nwh)
+    grid, in_specs, g = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    s_cap = g * n
     return pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
         grid=grid,
-        in_specs=_specs(b, hp, wp, c3, c, heads, n, nwh, nww),
-        out_specs=pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, wh, g * ww, c),
+                               lambda b_, i, k: (b_, i, k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((s_all, c3), qkv.dtype),
+            pltpu.VMEM((s_cap, c3), qkv.dtype),
             pltpu.VMEM((s_cap, s_cap), jnp.float32),
             pltpu.VMEM((s_cap, n), jnp.float32),
             pltpu.VMEM((s_cap, s_cap), qkv.dtype),
-            pltpu.VMEM((s_all, c), qkv.dtype),
+            pltpu.VMEM((s_cap, c), qkv.dtype),
         ],
         interpret=INTERPRET,
     )(qkv, rel_bias, mask)
@@ -325,13 +317,11 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    nwh, nww = hp // wh, wp // ww
-    s_cap = _scap(nww, n)
-    s_all = nww * n
-    grid = (b, nwh)
-    in_specs = _specs(b, hp, wp, c3, c, heads, n, nwh, nww)
-    in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
-                                    lambda b_, i: (b_, i, 0, 0),
+    grid, in_specs, g = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    s_cap = g * n
+    in_specs = list(in_specs)
+    in_specs.insert(1, pl.BlockSpec((1, wh, g * ww, c),
+                                    lambda b_, i, k: (b_, i, k, 0),
                                     memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads),
@@ -342,15 +332,16 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+            pl.BlockSpec((1, wh, g * ww, c3),
+                         lambda b_, i, k: (b_, i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+            pl.BlockSpec((heads, n, n), lambda b_, i, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((s_all, c3), qkv.dtype),
-            pltpu.VMEM((s_all, c3), jnp.float32),
-            pltpu.VMEM((s_all, c), qkv.dtype),
+            pltpu.VMEM((s_cap, c3), qkv.dtype),
+            pltpu.VMEM((s_cap, c3), jnp.float32),
+            pltpu.VMEM((s_cap, c), qkv.dtype),
             pltpu.VMEM((s_cap, s_cap), jnp.float32),
             pltpu.VMEM((s_cap, n), jnp.float32),
             pltpu.VMEM((s_cap, n), jnp.float32),
@@ -447,16 +438,24 @@ def fused_shifted_window_attention(
     if shifted:
         x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
 
+    # pad W again so every grid program covers the same number of
+    # windows (bounded kernel-body size; the extra garbage windows are
+    # window-local and sliced off before the roll-back)
+    nwh, nww = hp // wh, wp // ww
+    g = min(nww, _chunk_windows(n))
+    pad_chunk = (-nww % g) * ww
+    if pad_chunk:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_chunk), (0, 0)))
+    nww_p = nww + pad_chunk // ww
+
     rel_idx = relative_position_index(wh, ww)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
     rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
 
-    nwh, nww = hp // wh, wp // ww
+    mask_np = np.zeros((nwh, nww_p, n, n), np.float32)
     if shifted:
-        mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw)
-        mask_np = mask_np.reshape(nwh, nww, n, n)
-    else:
-        mask_np = np.zeros((nwh, nww, n, n), np.float32)
+        mask_np[:, :nww] = shifted_window_mask(
+            hp, wp, wh, ww, sh, sw).reshape(nwh, nww, n, n)
     mask = jnp.asarray(mask_np)
 
     # (measured r2: wrapping qkv+kernel in jax.checkpoint to recompute the
@@ -469,6 +468,8 @@ def fused_shifted_window_attention(
 
     ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
 
+    if pad_chunk:
+        ctx = ctx[:, :, :wp, :]
     if shifted:
         ctx = jnp.roll(ctx, shift=(sh, sw), axis=(1, 2))
     if pad_h or pad_w:
