@@ -98,7 +98,7 @@ def _fwd_kernel(
     ww: int,
     heads: int,
 ):
-    _, _, wcw, c3 = qkv_ref.shape  # wcw = chunk windows * ww
+    _, _, _, wcw, c3 = qkv_ref.shape  # wcw = chunk windows * ww
     c = c3 // 3
     hd = c // heads
     n = wh * ww
@@ -117,7 +117,7 @@ def _fwd_kernel(
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, g, c3)
+    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, g, c3)
 
     for h in range(heads):
         q = wm_ref[:s, h * hd:(h + 1) * hd]
@@ -134,7 +134,7 @@ def _fwd_kernel(
             )
         blk = p_ref[:s, :] * scale
         blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-        blk += mask_ref[0].reshape(s, n)
+        blk += mask_ref[0, 0].reshape(s, n)
         probs = _softmax_rows(blk).astype(z_ref.dtype)
         for w in range(g):
             z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
@@ -147,7 +147,7 @@ def _fwd_kernel(
         ow_ref[:s, h * hd:(h + 1) * hd] = ctx.astype(ow_ref.dtype)
 
     for w in range(g):
-        o_ref[0, :, w * ww:(w + 1) * ww, :] = (
+        o_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
             ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
         )
 
@@ -172,7 +172,7 @@ def _bwd_kernel(
     ww: int,
     heads: int,
 ):
-    _, _, wcw, c3 = qkv_ref.shape
+    _, _, _, wcw, c3 = qkv_ref.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
@@ -190,10 +190,10 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    _strip_to_wm(qkv_ref[0], wm_ref, wh, ww, g, c3)
+    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, g, c3)
     for w in range(g):
         dcw_ref[w * n:(w + 1) * n, :] = (
-            dctx_ref[0, :, w * ww:(w + 1) * ww, :].reshape(n, c)
+            dctx_ref[0, :, 0, w * ww:(w + 1) * ww, :].reshape(n, c)
         )
 
     for h in range(heads):
@@ -213,7 +213,7 @@ def _bwd_kernel(
             )
         blk = p_ref[:s, :] * scale
         blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-        blk += mask_ref[0].reshape(s, n)
+        blk += mask_ref[0, 0].reshape(s, n)
         probs = _softmax_rows(blk)
         pz = probs.astype(z_ref.dtype)
         for w in range(g):
@@ -260,47 +260,54 @@ def _bwd_kernel(
         dwm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
 
     for w in range(g):
-        dqkv_ref[0, :, w * ww:(w + 1) * ww, :] = (
+        dqkv_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
             dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
         ).astype(dqkv_ref.dtype)
 
 
 def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
-    """3D grid (batch, strip, width-chunk) + input specs.
+    """3D grid (batch, strip, width-chunk) + 5D input layout + specs.
 
     Every program handles the same number of windows (the wrapper pads W
     to a multiple of the chunk), so kernel bodies stay small no matter
     the resolution — unbounded strip widths were killing the Mosaic
-    compiler at 1024² (37-window unrolled bodies).
+    compiler at 1024² (37-window unrolled bodies).  The chunk axis is a
+    separate array dimension (``(B, Hp, k, g*ww, 3C)``) because Pallas
+    requires a block's second-to-last dim to either divide by 8 or equal
+    the whole array dim — g*ww (e.g. 70) does neither as a slice of Wp.
     """
     nwh, nww = hp // wh, wp // ww
     g = min(nww, _chunk_windows(n))
     assert nww % g == 0, (nww, g)
-    grid = (b, nwh, nww // g)
+    k = nww // g
+    grid = (b, nwh, k)
     in_specs = [
-        pl.BlockSpec((1, wh, g * ww, c3), lambda b_, i, k: (b_, i, k, 0),
+        pl.BlockSpec((1, wh, 1, g * ww, c3),
+                     lambda b_, i, k_: (b_, i, k_, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, n, n), lambda b_, i, k: (0, 0, 0),
+        pl.BlockSpec((heads, n, n), lambda b_, i, k_: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g, n, n), lambda b_, i, k: (i, k, 0, 0),
+        pl.BlockSpec((1, 1, g, n, n), lambda b_, i, k_: (i, k_, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    return grid, in_specs, g
+    return grid, in_specs, g, k
 
 
 def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    grid, in_specs, g = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
     s_cap = g * n
-    return pl.pallas_call(
+    qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
+    mask5 = mask.reshape(mask.shape[0], k, g, n, n)
+    out5 = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hp, k, g * ww, c), qkv.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wh, g * ww, c),
-                               lambda b_, i, k: (b_, i, k, 0),
+        out_specs=pl.BlockSpec((1, wh, 1, g * ww, c),
+                               lambda b_, i, k_: (b_, i, k_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((s_cap, c3), qkv.dtype),
@@ -310,32 +317,36 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
             pltpu.VMEM((s_cap, c), qkv.dtype),
         ],
         interpret=INTERPRET,
-    )(qkv, rel_bias, mask)
+    )(qkv5, rel_bias, mask5)
+    return out5.reshape(b, hp, wp, c)
 
 
 def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    grid, in_specs, g = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
     s_cap = g * n
+    qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
+    dctx5 = dctx.reshape(b, hp, k, g * ww, c)
+    mask5 = mask.reshape(mask.shape[0], k, g, n, n)
     in_specs = list(in_specs)
-    in_specs.insert(1, pl.BlockSpec((1, wh, g * ww, c),
-                                    lambda b_, i, k: (b_, i, k, 0),
+    in_specs.insert(1, pl.BlockSpec((1, wh, 1, g * ww, c),
+                                    lambda b_, i, k_: (b_, i, k_, 0, 0),
                                     memory_space=pltpu.VMEM))
-    return pl.pallas_call(
+    dqkv5, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads),
         out_shape=(
-            jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((b, hp, k, g * ww, c3), qkv.dtype),
             jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, wh, g * ww, c3),
-                         lambda b_, i, k: (b_, i, k, 0),
+            pl.BlockSpec((1, wh, 1, g * ww, c3),
+                         lambda b_, i, k_: (b_, i, k_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, n, n), lambda b_, i, k: (0, 0, 0),
+            pl.BlockSpec((heads, n, n), lambda b_, i, k_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -349,7 +360,8 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
             pltpu.VMEM((s_cap, s_cap), qkv.dtype),
         ],
         interpret=INTERPRET,
-    )(qkv, dctx, rel_bias, mask)
+    )(qkv5, dctx5, rel_bias, mask5)
+    return dqkv5.reshape(b, hp, wp, c3), dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
