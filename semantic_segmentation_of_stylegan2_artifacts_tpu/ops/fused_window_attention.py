@@ -7,11 +7,11 @@ HBM with severe tile padding — ``(…,49,49)`` scores pad ×3.4 on the
 (measured v5e, 512²: ~8 ms fwd+bwd per stage-0 block of a 3-ms-fwd
 step).  This kernel keeps all window-shaped intermediates in VMEM:
 
-* grid = (batch, window-row strip); the strip of spatial-rolled qkv is
-  window-partitioned **in VMEM** (static sublane slices, no HBM
-  relayout);
+* grid = (batch, window-row strip[, width-chunk]); the strip of
+  spatial-rolled qkv is window-partitioned **in VMEM** (static sublane
+  slices, no HBM relayout);
 * per head, windows are packed along the sublane axis and scored with
-  ONE MXU matmul per ≤20-window group — the block-diagonal waste costs
+  ONE MXU matmul per ≤10-window group — the block-diagonal waste costs
   only MXU FLOPs (attention matmuls are <1% of model FLOPs), never HBM;
 * the valid diagonal 49×49 blocks are extracted with static slices,
   get bias+mask+softmax as one small batched VPU op, and are scattered
@@ -22,7 +22,12 @@ step).  This kernel keeps all window-shaped intermediates in VMEM:
   tensors the XLA path keeps for its VJP;
 * the relative-position-bias gradient is accumulated across the whole
   grid into a single revisited output block (TPU grid execution is
-  sequential).
+  sequential);
+* strips wider than ``_MAX_BODY_WINDOWS`` are split into uniform width
+  chunks carried as their own array dimension (``(B,Hp,k,g*ww,3C)``) —
+  1024²'s 37-window strips otherwise unroll kernel bodies big enough to
+  OOM the Mosaic compiler, and Pallas only allows a block's
+  second-to-last dim to be a strict slice when it divides by 8.
 
 Measured (v5e, 512² batch 8, r2): op-level fwd+bwd 6.8 vs 8.0 ms at
 stage 0 (s0) and 2.8 vs 3.1 ms at stage 1 — but the in-step effect is
@@ -36,7 +41,7 @@ reference ``network/model_parts.py:36,143-151``): zero-padded tokens
 participate in unshifted attention, shifted blocks use the 9-region
 additive mask, softmax in f32.  Exactness is asserted in
 ``tests/test_fused_window_attention.py`` (interpret mode) and the op is
-gated by ``TPU.FUSED_ATTENTION`` + backend/shape support.
+gated by ``TPU.USE_PALLAS_ATTENTION`` + backend/shape support.
 """
 
 from __future__ import annotations
@@ -61,14 +66,29 @@ INTERPRET = False
 # per group).  512 => groups of 10 windows at window 7.
 _S_CAP = 512
 
+# widest strip compiled as one program (in-kernel group loop).  Wider
+# strips are width-chunked onto the grid: a 37-window body OOMs the
+# Mosaic compiler, while 19/20 windows (512² stage 0) compile fine and
+# run ~2% faster than chunked programs (fewer programs, no pad windows).
+_MAX_BODY_WINDOWS = 20
+
 
 def _chunk_windows(n_tok: int) -> int:
-    """Windows per grid program (bounds VMEM and kernel-body unrolling)."""
+    """Windows per width-chunk when a strip must be split."""
     return max(1, _S_CAP // n_tok)
 
 
+def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
+    """Split a program's ``n_win`` windows into <=_S_CAP//n_tok groups."""
+    g_cap = max(1, _S_CAP // n_tok)
+    sizes = [g_cap] * (n_win // g_cap)
+    if n_win % g_cap:
+        sizes.append(n_win % g_cap)
+    return tuple(sizes)
+
+
 def _strip_to_wm(strip, wm_ref, wh: int, ww: int, nww: int, c3: int):
-    """Spatial strip ``(wh, Wp, 3C)`` -> window-major rows of ``wm_ref``."""
+    """Spatial strip ``(wh, Wc, 3C)`` -> window-major rows of ``wm_ref``."""
     n = wh * ww
     for w in range(nww):
         wm_ref[w * n:(w + 1) * n, :] = (
@@ -84,100 +104,106 @@ def _softmax_rows(x):
 
 
 def _fwd_kernel(
-    qkv_ref,   # (1, wh, Wp, 3C) spatial-rolled strip
+    qkv_ref,   # (1, wh, 1, Wc, 3C) spatial-rolled width-chunk
     bias_ref,  # (heads, N, N) f32
-    mask_ref,  # (1, nWw, N, N) f32 additive (zeros when unshifted)
-    o_ref,     # (1, wh, Wp, C)
-    wm_ref,    # scratch (S_cap, 3C) input dtype, window-major qkv
+    mask_ref,  # (1, 1, nWc, N, N) f32 additive (zeros when unshifted)
+    o_ref,     # (1, wh, 1, Wc, C)
+    wm_ref,    # scratch (nWc*N, 3C) input dtype, window-major qkv
     s_ref,     # scratch (S_cap, S_cap) f32 score matrix
     p_ref,     # scratch (S_cap, N) f32 diagonal prob blocks
-    z_ref,     # scratch (S_cap, S_cap) bf16 block-diagonal probs
-    ow_ref,    # scratch (S_cap, C) input dtype, window-major context
+    z_ref,     # scratch (S_cap, S_cap) input dtype, block-diag probs
+    ow_ref,    # scratch (nWc*N, C) input dtype, window-major context
     *,
     wh: int,
     ww: int,
     heads: int,
 ):
-    _, _, _, wcw, c3 = qkv_ref.shape  # wcw = chunk windows * ww
+    _, _, _, wc, c3 = qkv_ref.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    g = wcw // ww  # windows in this program (uniform across the grid)
-    s = g * n
+    nwc = wc // ww  # windows in this program
     scale = hd ** -0.5
     first = jnp.logical_and(
         jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
         pl.program_id(2) == 0,
     )
 
-    # probs matrix: only diagonal blocks are ever written below (at the
-    # same, uniform positions in every program), so one zero-fill on the
-    # first program keeps every off-diagonal entry zero for the grid.
+    # probs matrix: only diagonal blocks are ever written below, so one
+    # zero-fill on the first program keeps every off-diagonal entry zero
+    # for the whole grid (group sizes only shrink within a program, and a
+    # stale diagonal block from a larger earlier group lies entirely
+    # outside the rows a smaller group reads).
     @pl.when(first)
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, g, c3)
+    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, nwc, c3)
 
-    for h in range(heads):
-        q = wm_ref[:s, h * hd:(h + 1) * hd]
-        k = wm_ref[:s, c + h * hd:c + (h + 1) * hd]
-        v = wm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        s_ref[:s, :s] = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # diagonal NxN blocks -> (s, N) with bias + shift mask
-        for w in range(g):
-            p_ref[w * n:(w + 1) * n, :] = (
-                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+    w0 = 0
+    for g in _group_sizes(nwc, n):
+        s = g * n
+        for h in range(heads):
+            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
+            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            s_ref[:s, :s] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        blk = p_ref[:s, :] * scale
-        blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-        blk += mask_ref[0, 0].reshape(s, n)
-        probs = _softmax_rows(blk).astype(z_ref.dtype)
-        for w in range(g):
-            z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                probs[w * n:(w + 1) * n, :]
+            # diagonal NxN blocks -> (s, N) with bias + shift mask
+            for w in range(g):
+                p_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            blk = p_ref[:s, :] * scale
+            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+            blk += mask_ref[0, 0, w0:w0 + g].reshape(s, n)
+            probs = _softmax_rows(blk).astype(z_ref.dtype)
+            for w in range(g):
+                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    probs[w * n:(w + 1) * n, :]
+                )
+            ctx = jax.lax.dot_general(
+                z_ref[:s, :s], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        ctx = jax.lax.dot_general(
-            z_ref[:s, :s], v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ow_ref[:s, h * hd:(h + 1) * hd] = ctx.astype(ow_ref.dtype)
+            ow_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
+                ctx.astype(ow_ref.dtype)
+            )
+        w0 += g
 
-    for w in range(g):
+    for w in range(nwc):
         o_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
             ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
         )
 
 
 def _bwd_kernel(
-    qkv_ref,    # (1, wh, Wp, 3C)
-    dctx_ref,   # (1, wh, Wp, C)
+    qkv_ref,    # (1, wh, 1, Wc, 3C)
+    dctx_ref,   # (1, wh, 1, Wc, C)
     bias_ref,   # (heads, N, N) f32
-    mask_ref,   # (1, nWw, N, N) f32
-    dqkv_ref,   # (1, wh, Wp, 3C)
+    mask_ref,   # (1, 1, nWc, N, N) f32
+    dqkv_ref,   # (1, wh, 1, Wc, 3C)
     dbias_ref,  # (heads, N, N) f32 — accumulated across the whole grid
-    wm_ref,     # scratch (S_cap, 3C)
-    dwm_ref,    # scratch (S_cap, 3C) f32
-    dcw_ref,    # scratch (S_cap, C)
+    wm_ref,     # scratch (nWc*N, 3C)
+    dwm_ref,    # scratch (nWc*N, 3C) f32
+    dcw_ref,    # scratch (nWc*N, C)
     s_ref,      # scratch (S_cap, S_cap) f32: scores, then dP
     p_ref,      # scratch (S_cap, N) f32
     dp_ref,     # scratch (S_cap, N) f32
-    z_ref,      # scratch (S_cap, S_cap) bf16: probs
-    z2_ref,     # scratch (S_cap, S_cap) bf16: dS
+    z_ref,      # scratch (S_cap, S_cap): probs
+    z2_ref,     # scratch (S_cap, S_cap): dS
     *,
     wh: int,
     ww: int,
     heads: int,
 ):
-    _, _, _, wcw, c3 = qkv_ref.shape
+    _, _, _, wc, c3 = qkv_ref.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    g = wcw // ww
-    s = g * n
+    nwc = wc // ww
     scale = hd ** -0.5
     first = jnp.logical_and(
         jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
@@ -190,96 +216,97 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, g, c3)
-    for w in range(g):
+    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, nwc, c3)
+    for w in range(nwc):
         dcw_ref[w * n:(w + 1) * n, :] = (
             dctx_ref[0, :, 0, w * ww:(w + 1) * ww, :].reshape(n, c)
         )
 
-    for h in range(heads):
-        q = wm_ref[:s, h * hd:(h + 1) * hd]
-        k = wm_ref[:s, c + h * hd:c + (h + 1) * hd]
-        v = wm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        dctx = dcw_ref[:s, h * hd:(h + 1) * hd]
+    w0 = 0
+    for g in _group_sizes(nwc, n):
+        s = g * n
+        for h in range(heads):
+            q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
+            k = wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd]
+            v = wm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            dctx = dcw_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
 
-        # recompute probs (same as forward)
-        s_ref[:s, :s] = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for w in range(g):
-            p_ref[w * n:(w + 1) * n, :] = (
-                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+            # recompute probs (same as forward)
+            s_ref[:s, :s] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        blk = p_ref[:s, :] * scale
-        blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-        blk += mask_ref[0, 0].reshape(s, n)
-        probs = _softmax_rows(blk)
-        pz = probs.astype(z_ref.dtype)
-        for w in range(g):
-            z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                pz[w * n:(w + 1) * n, :]
-            )
+            for w in range(g):
+                p_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            blk = p_ref[:s, :] * scale
+            blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
+            blk += mask_ref[0, 0, w0:w0 + g].reshape(s, n)
+            probs = _softmax_rows(blk)
+            pz = probs.astype(z_ref.dtype)
+            for w in range(g):
+                z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    pz[w * n:(w + 1) * n, :]
+                )
 
-        # dP (diagonal blocks of dctx @ v^T), softmax VJP, dS
-        s_ref[:s, :s] = jax.lax.dot_general(
-            dctx, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for w in range(g):
-            dp_ref[w * n:(w + 1) * n, :] = (
-                s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+            # dP (diagonal blocks of dctx @ v^T), softmax VJP, dS
+            s_ref[:s, :s] = jax.lax.dot_general(
+                dctx, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        dpb = dp_ref[:s, :]
-        ds = probs * (
-            dpb - jnp.sum(dpb * probs, axis=-1, keepdims=True)
-        )
-        # bias gradient: sum over this program's windows
-        dbias_ref[h] += jnp.sum(ds.reshape(g, n, n), axis=0)
-        dsz = ds.astype(z2_ref.dtype)
-        for w in range(g):
-            z2_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
-                dsz[w * n:(w + 1) * n, :]
+            for w in range(g):
+                dp_ref[w * n:(w + 1) * n, :] = (
+                    s_ref[w * n:(w + 1) * n, w * n:(w + 1) * n]
+                )
+            dpb = dp_ref[:s, :]
+            ds = probs * (
+                dpb - jnp.sum(dpb * probs, axis=-1, keepdims=True)
             )
+            # bias gradient: sum over this group's windows
+            dbias_ref[h] += jnp.sum(ds.reshape(g, n, n), axis=0)
+            dsz = ds.astype(z2_ref.dtype)
+            for w in range(g):
+                z2_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
+                    dsz[w * n:(w + 1) * n, :]
+                )
 
-        # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
-        dq = jax.lax.dot_general(
-            z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk = jax.lax.dot_general(
-            z2_ref[:s, :s], q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dv = jax.lax.dot_general(
-            z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dwm_ref[:s, h * hd:(h + 1) * hd] = dq
-        dwm_ref[:s, c + h * hd:c + (h + 1) * hd] = dk
-        dwm_ref[:s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
+            # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
+            dq = jax.lax.dot_general(
+                z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                z2_ref[:s, :s], q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dv = jax.lax.dot_general(
+                z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = dq
+            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = dk
+            dwm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
+        w0 += g
 
-    for w in range(g):
+    for w in range(nwc):
         dqkv_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
             dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
         ).astype(dqkv_ref.dtype)
 
 
-def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
-    """3D grid (batch, strip, width-chunk) + 5D input layout + specs.
+def _layout(nww: int, n: int) -> Tuple[int, int]:
+    """(windows per program, width-chunks per strip)."""
+    if nww <= _MAX_BODY_WINDOWS:
+        return nww, 1
+    g = _chunk_windows(n)
+    return g, -(-nww // g)  # wrapper pads nww up to k*g
 
-    Every program handles the same number of windows (the wrapper pads W
-    to a multiple of the chunk), so kernel bodies stay small no matter
-    the resolution — unbounded strip widths were killing the Mosaic
-    compiler at 1024² (37-window unrolled bodies).  The chunk axis is a
-    separate array dimension (``(B, Hp, k, g*ww, 3C)``) because Pallas
-    requires a block's second-to-last dim to either divide by 8 or equal
-    the whole array dim — g*ww (e.g. 70) does neither as a slice of Wp.
-    """
+
+def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     nwh, nww = hp // wh, wp // ww
-    g = min(nww, _chunk_windows(n))
-    assert nww % g == 0, (nww, g)
-    k = nww // g
+    g, k = _layout(nww, n)
+    assert nww == g * k, (nww, g, k)
     grid = (b, nwh, k)
     in_specs = [
         pl.BlockSpec((1, wh, 1, g * ww, c3),
@@ -293,12 +320,34 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     return grid, in_specs, g, k
 
 
+def _scratch(g: int, n: int, c3: int, c: int, dtype, bwd: bool):
+    s_all = g * n
+    s_cap = min(g, _chunk_windows(n)) * n
+    if not bwd:
+        return [
+            pltpu.VMEM((s_all, c3), dtype),
+            pltpu.VMEM((s_cap, s_cap), jnp.float32),
+            pltpu.VMEM((s_cap, n), jnp.float32),
+            pltpu.VMEM((s_cap, s_cap), dtype),
+            pltpu.VMEM((s_all, c), dtype),
+        ]
+    return [
+        pltpu.VMEM((s_all, c3), dtype),
+        pltpu.VMEM((s_all, c3), jnp.float32),
+        pltpu.VMEM((s_all, c), dtype),
+        pltpu.VMEM((s_cap, s_cap), jnp.float32),
+        pltpu.VMEM((s_cap, n), jnp.float32),
+        pltpu.VMEM((s_cap, n), jnp.float32),
+        pltpu.VMEM((s_cap, s_cap), dtype),
+        pltpu.VMEM((s_cap, s_cap), dtype),
+    ]
+
+
 def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
-    s_cap = g * n
     qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
     mask5 = mask.reshape(mask.shape[0], k, g, n, n)
     out5 = pl.pallas_call(
@@ -309,13 +358,7 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
         out_specs=pl.BlockSpec((1, wh, 1, g * ww, c),
                                lambda b_, i, k_: (b_, i, k_, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((s_cap, c3), qkv.dtype),
-            pltpu.VMEM((s_cap, s_cap), jnp.float32),
-            pltpu.VMEM((s_cap, n), jnp.float32),
-            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
-            pltpu.VMEM((s_cap, c), qkv.dtype),
-        ],
+        scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=False),
         interpret=INTERPRET,
     )(qkv5, rel_bias, mask5)
     return out5.reshape(b, hp, wp, c)
@@ -326,7 +369,6 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
-    s_cap = g * n
     qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
     dctx5 = dctx.reshape(b, hp, k, g * ww, c)
     mask5 = mask.reshape(mask.shape[0], k, g, n, n)
@@ -349,16 +391,7 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
             pl.BlockSpec((heads, n, n), lambda b_, i, k_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((s_cap, c3), qkv.dtype),
-            pltpu.VMEM((s_cap, c3), jnp.float32),
-            pltpu.VMEM((s_cap, c), qkv.dtype),
-            pltpu.VMEM((s_cap, s_cap), jnp.float32),
-            pltpu.VMEM((s_cap, n), jnp.float32),
-            pltpu.VMEM((s_cap, n), jnp.float32),
-            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
-            pltpu.VMEM((s_cap, s_cap), qkv.dtype),
-        ],
+        scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=True),
         interpret=INTERPRET,
     )(qkv5, dctx5, rel_bias, mask5)
     return dqkv5.reshape(b, hp, wp, c3), dbias
@@ -409,6 +442,11 @@ def supported(
         return False
     if INTERPRET:
         return True
+    # wide grids fall back to XLA: chunked-kernel 1024² measured slower
+    # than the XLA path (4.75 vs 5.32 img/s at b2 — pad windows + program
+    # count), and >20-window bodies OOM the remote Mosaic compiler.
+    if (w + (-w % ww)) // ww > _MAX_BODY_WINDOWS:
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -450,15 +488,16 @@ def fused_shifted_window_attention(
     if shifted:
         x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
 
-    # pad W again so every grid program covers the same number of
-    # windows (bounded kernel-body size; the extra garbage windows are
-    # window-local and sliced off before the roll-back)
+    # wide strips get width-chunked: pad W so every grid program covers
+    # the same number of windows (the extra garbage windows are
+    # window-local and sliced off before the roll-back; their cotangent
+    # is zero so the accumulated bias gradient stays clean)
     nwh, nww = hp // wh, wp // ww
-    g = min(nww, _chunk_windows(n))
-    pad_chunk = (-nww % g) * ww
+    g, k = _layout(nww, n)
+    pad_chunk = (g * k - nww) * ww
     if pad_chunk:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_chunk), (0, 0)))
-    nww_p = nww + pad_chunk // ww
+    nww_p = g * k
 
     rel_idx = relative_position_index(wh, ww)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
@@ -470,10 +509,6 @@ def fused_shifted_window_attention(
             hp, wp, wh, ww, sh, sw).reshape(nwh, nww, n, n)
     mask = jnp.asarray(mask_np)
 
-    # (measured r2: wrapping qkv+kernel in jax.checkpoint to recompute the
-    # qkv projection in backward costs 2% at 512^2 b8 and buys nothing at
-    # b16 — XLA's own remat already handles the memory squeeze there, so
-    # the qkv map stays saved and TPU.REMAT remains the memory knob.)
     qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
     if qkv_bias is not None:
         qkv = qkv + qkv_bias.astype(qkv.dtype)
