@@ -115,7 +115,7 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
-                       use_pallas=not args.no_pallas_attn,
+                       use_pallas=not args.no_pallas_attn and args.img < 1024,
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch

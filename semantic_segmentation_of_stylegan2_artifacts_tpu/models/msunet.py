@@ -376,7 +376,12 @@ class MSUNet(nn.Module):
             use_remat=remat,
             remat_high_res=remat_high,
             remat_policy=remat_policy,
-            use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION),
+            # 1024²+: the per-call supported() gate already rejects the
+            # 37-window stage-0 grid, and compiling the remaining kernels
+            # alongside the big XLA graph trips the remote compile
+            # helper's memory cap (SIGKILL, r2) — and the XLA path
+            # measured faster there anyway (5.32 vs 4.75 img/s b2).
+            use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION) and size < 1024,
             window_group=int(getattr(config.TPU, "ATTN_WINDOW_GROUP", 0)),
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),

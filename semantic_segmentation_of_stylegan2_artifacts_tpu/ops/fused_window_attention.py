@@ -117,17 +117,17 @@ def _fwd_kernel(
     wh: int,
     ww: int,
     heads: int,
+    chunked: bool,
 ):
-    _, _, _, wc, c3 = qkv_ref.shape
+    wc, c3 = qkv_ref.shape[-2], qkv_ref.shape[-1]
     c = c3 // 3
     hd = c // heads
     n = wh * ww
     nwc = wc // ww  # windows in this program
     scale = hd ** -0.5
-    first = jnp.logical_and(
-        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
-        pl.program_id(2) == 0,
-    )
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    if chunked:
+        first = jnp.logical_and(first, pl.program_id(2) == 0)
 
     # probs matrix: only diagonal blocks are ever written below, so one
     # zero-fill on the first program keeps every off-diagonal entry zero
@@ -138,7 +138,8 @@ def _fwd_kernel(
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, nwc, c3)
+    strip = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
+    _strip_to_wm(strip, wm_ref, wh, ww, nwc, c3)
 
     w0 = 0
     for g in _group_sizes(nwc, n):
@@ -158,7 +159,8 @@ def _fwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            blk += mask_ref[0, 0, w0:w0 + g].reshape(s, n)
+            mblk = mask_ref[0, 0] if chunked else mask_ref[0]
+            blk += mblk[w0:w0 + g].reshape(s, n)
             probs = _softmax_rows(blk).astype(z_ref.dtype)
             for w in range(g):
                 z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
@@ -174,9 +176,11 @@ def _fwd_kernel(
         w0 += g
 
     for w in range(nwc):
-        o_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
-            ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
-        )
+        owc = ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
+        if chunked:
+            o_ref[0, :, 0, w * ww:(w + 1) * ww, :] = owc
+        else:
+            o_ref[0, :, w * ww:(w + 1) * ww, :] = owc
 
 
 def _bwd_kernel(
@@ -198,17 +202,17 @@ def _bwd_kernel(
     wh: int,
     ww: int,
     heads: int,
+    chunked: bool,
 ):
-    _, _, _, wc, c3 = qkv_ref.shape
+    wc, c3 = qkv_ref.shape[-2], qkv_ref.shape[-1]
     c = c3 // 3
     hd = c // heads
     n = wh * ww
     nwc = wc // ww
     scale = hd ** -0.5
-    first = jnp.logical_and(
-        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
-        pl.program_id(2) == 0,
-    )
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    if chunked:
+        first = jnp.logical_and(first, pl.program_id(2) == 0)
 
     @pl.when(first)
     def _():
@@ -216,10 +220,12 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    _strip_to_wm(qkv_ref[0, :, 0], wm_ref, wh, ww, nwc, c3)
+    strip = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
+    _strip_to_wm(strip, wm_ref, wh, ww, nwc, c3)
+    dstrip = dctx_ref[0, :, 0] if chunked else dctx_ref[0]
     for w in range(nwc):
         dcw_ref[w * n:(w + 1) * n, :] = (
-            dctx_ref[0, :, 0, w * ww:(w + 1) * ww, :].reshape(n, c)
+            dstrip[:, w * ww:(w + 1) * ww, :].reshape(n, c)
         )
 
     w0 = 0
@@ -242,7 +248,8 @@ def _bwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            blk += mask_ref[0, 0, w0:w0 + g].reshape(s, n)
+            mblk = mask_ref[0, 0] if chunked else mask_ref[0]
+            blk += mblk[w0:w0 + g].reshape(s, n)
             probs = _softmax_rows(blk)
             pz = probs.astype(z_ref.dtype)
             for w in range(g):
@@ -290,9 +297,12 @@ def _bwd_kernel(
         w0 += g
 
     for w in range(nwc):
-        dqkv_ref[0, :, 0, w * ww:(w + 1) * ww, :] = (
-            dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
-        ).astype(dqkv_ref.dtype)
+        dq_wc = (dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
+                 ).astype(dqkv_ref.dtype)
+        if chunked:
+            dqkv_ref[0, :, 0, w * ww:(w + 1) * ww, :] = dq_wc
+        else:
+            dqkv_ref[0, :, w * ww:(w + 1) * ww, :] = dq_wc
 
 
 def _layout(nww: int, n: int) -> Tuple[int, int]:
@@ -304,9 +314,27 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
 
 
 def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
+    """Grid + input specs.
+
+    ``k == 1`` (strip fits one program): plain 4D layout, 2D grid — the
+    proven fast path.  ``k > 1``: the width-chunk axis becomes its own
+    array dimension (5D) because Pallas only allows a block's
+    second-to-last dim to be a strict slice when it divides by 8.
+    """
     nwh, nww = hp // wh, wp // ww
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
+    if k == 1:
+        grid = (b, nwh)
+        in_specs = [
+            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        return grid, in_specs, g, k
     grid = (b, nwh, k)
     in_specs = [
         pl.BlockSpec((1, wh, 1, g * ww, c3),
@@ -348,20 +376,30 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
-    qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
-    mask5 = mask.reshape(mask.shape[0], k, g, n, n)
-    out5 = pl.pallas_call(
-        functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((b, hp, k, g * ww, c), qkv.dtype),
+    chunked = k > 1
+    if chunked:
+        qkv_in = qkv.reshape(b, hp, k, g * ww, c3)
+        mask_in = mask.reshape(mask.shape[0], k, g, n, n)
+        out_shape = jax.ShapeDtypeStruct((b, hp, k, g * ww, c), qkv.dtype)
+        out_spec = pl.BlockSpec((1, wh, 1, g * ww, c),
+                                lambda b_, i, k_: (b_, i, k_, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        qkv_in, mask_in = qkv, mask
+        out_shape = jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype)
+        out_spec = pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
+                          chunked=chunked),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wh, 1, g * ww, c),
-                               lambda b_, i, k_: (b_, i, k_, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=False),
         interpret=INTERPRET,
-    )(qkv5, rel_bias, mask5)
-    return out5.reshape(b, hp, wp, c)
+    )(qkv_in, rel_bias, mask_in)
+    return out.reshape(b, hp, wp, c)
 
 
 def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
@@ -369,32 +407,52 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
-    qkv5 = qkv.reshape(b, hp, k, g * ww, c3)
-    dctx5 = dctx.reshape(b, hp, k, g * ww, c)
-    mask5 = mask.reshape(mask.shape[0], k, g, n, n)
+    chunked = k > 1
     in_specs = list(in_specs)
-    in_specs.insert(1, pl.BlockSpec((1, wh, 1, g * ww, c),
-                                    lambda b_, i, k_: (b_, i, k_, 0, 0),
-                                    memory_space=pltpu.VMEM))
-    dqkv5, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads),
-        out_shape=(
+    if chunked:
+        qkv_in = qkv.reshape(b, hp, k, g * ww, c3)
+        dctx_in = dctx.reshape(b, hp, k, g * ww, c)
+        mask_in = mask.reshape(mask.shape[0], k, g, n, n)
+        in_specs.insert(1, pl.BlockSpec((1, wh, 1, g * ww, c),
+                                        lambda b_, i, k_: (b_, i, k_, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        out_shapes = (
             jax.ShapeDtypeStruct((b, hp, k, g * ww, c3), qkv.dtype),
             jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(
+        )
+        out_specs = (
             pl.BlockSpec((1, wh, 1, g * ww, c3),
                          lambda b_, i, k_: (b_, i, k_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda b_, i, k_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        )
+    else:
+        qkv_in, dctx_in, mask_in = qkv, dctx, mask
+        in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
+                                        lambda b_, i: (b_, i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads,
+                          chunked=chunked),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=True),
         interpret=INTERPRET,
-    )(qkv5, dctx5, rel_bias, mask5)
-    return dqkv5.reshape(b, hp, wp, c3), dbias
+    )(qkv_in, dctx_in, rel_bias, mask_in)
+    return dqkv.reshape(b, hp, wp, c3), dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
