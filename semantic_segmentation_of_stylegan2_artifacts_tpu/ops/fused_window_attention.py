@@ -503,6 +503,8 @@ def supported(
     # wide grids fall back to XLA: chunked-kernel 1024² measured slower
     # than the XLA path (4.75 vs 5.32 img/s at b2 — pad windows + program
     # count), and >20-window bodies OOM the remote Mosaic compiler.
+    # (Small grids stay on the kernel: gating nww<8 back to XLA measured
+    # 26.3 vs 28.0 img/s at 512² — it wins at every supported shape.)
     if (w + (-w % ww)) // ww > _MAX_BODY_WINDOWS:
         return False
     try:
