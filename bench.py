@@ -36,6 +36,16 @@ REFERENCE_GPU_IPS = 25.0
 PEAK_BF16_FLOPS = 197e12
 
 
+def _pallas_cfg(args):
+    """Fused attention on; wide stages to XLA at 1024^2+ (BASELINE.md)."""
+    if args.no_pallas_attn:
+        return False
+    if args.img < 1024:
+        return True
+    grids = [args.img // 4 // (2 ** i) for i in range(4)]
+    return tuple((g + (-g % 7)) // 7 <= 10 for g in grids)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
@@ -115,7 +125,7 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
-                       use_pallas=not args.no_pallas_attn and args.img < 1024,
+                       use_pallas=_pallas_cfg(args),
                        softmax_dtype=softmax_dtype)
         img_size = args.img
         batch = args.batch

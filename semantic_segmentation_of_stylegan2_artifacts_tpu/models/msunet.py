@@ -24,7 +24,7 @@ in the reference.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,26 @@ def _stage_slice(dpr: List[float], depths: Sequence[int], stage: int) -> List[fl
     return dpr[lo : lo + depths[stage]]
 
 
+def _pallas_stages(flag: bool, img_size: int, patch: int, n_stages: int,
+                   window: int) -> Union[bool, Tuple[bool, ...]]:
+    """Fused-attention stage selection for ``from_config``.
+
+    Wide token grids (padded width > 20 windows) fall back to the XLA
+    attention path — the chunked kernel measured slower there and its
+    compilation beside the big 1024² graph trips the remote compile
+    helper's memory cap (BASELINE.md r2).  Small-grid stages keep the
+    kernel at any image size.
+    """
+    if not flag:
+        return False
+    # at 1024²+ even the 19-window single-program bodies broke the
+    # compile cap; below that, anything the op-level gate accepts works
+    cap = 10 if img_size >= 1024 else 20
+    grids = [img_size // patch // (2 ** i) for i in range(n_stages)]
+    per = tuple((g + (-g % window)) // window <= cap for g in grids)
+    return True if all(per) else per
+
+
 class MSUNetSys(nn.Module):
     """The MS-UNet graph. See module docstring for the wiring contract."""
 
@@ -74,7 +94,11 @@ class MSUNetSys(nn.Module):
     use_remat: bool = False
     remat_high_res: bool = False  # remat only blocks with dim <= 256
     remat_policy: str = ""  # "" (full) | "dots" (save matmuls, recompute rest)
-    use_pallas: bool = False
+    # fused Pallas attention: bool for all stages, or a per-stage tuple
+    # (indexed by encoder stage; decoder/cent layers follow the stage of
+    # their dim) — 1024²+ uses (False, False, True, True): wide grids
+    # stay on XLA (see ops/fused_window_attention.supported + BASELINE.md)
+    use_pallas: Union[bool, Tuple[bool, ...]] = False
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -90,6 +114,15 @@ class MSUNetSys(nn.Module):
 
     def _stage_remat(self, dim: int) -> bool:
         return self.use_remat or (self.remat_high_res and dim <= 256)
+
+    def _stage_pallas(self, dim: int) -> bool:
+        """Fused-attention choice for the stage owning ``dim``."""
+        if not self.use_pallas or self.spatial_axis:
+            return False
+        if isinstance(self.use_pallas, (tuple, list)):
+            i = (dim // self.embed_dim).bit_length() - 1
+            return bool(self.use_pallas[i])
+        return True
 
     def _sc(self, x: jax.Array) -> jax.Array:
         """Spatial sharding constraint on the H axis of an NHWC map."""
@@ -111,7 +144,6 @@ class MSUNetSys(nn.Module):
             drop=self.drop_rate,
             attn_drop=self.attn_drop_rate,
             remat_policy=self.remat_policy,
-            use_pallas=self.use_pallas and not self.spatial_axis,
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
@@ -137,6 +169,7 @@ class MSUNetSys(nn.Module):
                 drop_path=_stage_slice(dpr, self.depths, i),
                 downsample=(i < nl - 1),
                 use_remat=self._stage_remat(dims[i]),
+                use_pallas=self._stage_pallas(dims[i]),
                 name=f"layers_{i}",
                 **common,
             )
@@ -171,6 +204,7 @@ class MSUNetSys(nn.Module):
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 1),
                     use_remat=self._stage_remat(dims[s]),
+                    use_pallas=self._stage_pallas(dims[s]),
                     name=f"layers_up_{i}",
                     **common,
                 )
@@ -193,6 +227,7 @@ class MSUNetSys(nn.Module):
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 2),
                     use_remat=self._stage_remat(dims[s]),
+                    use_pallas=self._stage_pallas(dims[s]),
                     name=f"layers_cent1_{i}",
                     **common,
                 )
@@ -214,6 +249,7 @@ class MSUNetSys(nn.Module):
                     drop_path=_stage_slice(dpr, self.depths, s),
                     upsample=(i < nl - 3),
                     use_remat=self._stage_remat(dims[s]),
+                    use_pallas=self._stage_pallas(dims[s]),
                     name=f"layers_cent2_{i}",
                     **common,
                 )
@@ -325,7 +361,7 @@ class MSUNet(nn.Module):
     use_remat: bool = False
     remat_high_res: bool = False
     remat_policy: str = ""
-    use_pallas: bool = False
+    use_pallas: Union[bool, Tuple[bool, ...]] = False
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -376,12 +412,9 @@ class MSUNet(nn.Module):
             use_remat=remat,
             remat_high_res=remat_high,
             remat_policy=remat_policy,
-            # 1024²+: the per-call supported() gate already rejects the
-            # 37-window stage-0 grid, and compiling the remaining kernels
-            # alongside the big XLA graph trips the remote compile
-            # helper's memory cap (SIGKILL, r2) — and the XLA path
-            # measured faster there anyway (5.32 vs 4.75 img/s b2).
-            use_pallas=bool(config.TPU.USE_PALLAS_ATTENTION) and size < 1024,
+            use_pallas=_pallas_stages(
+                bool(config.TPU.USE_PALLAS_ATTENTION), size,
+                swin.PATCH_SIZE, len(swin.DEPTHS), swin.WINDOW_SIZE),
             window_group=int(getattr(config.TPU, "ATTN_WINDOW_GROUP", 0)),
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
