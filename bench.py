@@ -105,12 +105,13 @@ def main():
         batch = 2
         steps, warmup = 5, 2
     else:
-        # r2 sweep winner at 1024² (BASELINE.md): high_res remat
+        # r2 sweep winners at 1024² (BASELINE.md): none with the mixed
+        # kernel (5.35), high_res on the pure XLA path (5.32)
         mode = args.remat_mode
         if not mode:
             if args.remat:
                 mode = "full"
-            elif args.img >= 1024:
+            elif args.img >= 1024 and args.no_pallas_attn:
                 mode = "high_res"
             else:
                 mode = "none"

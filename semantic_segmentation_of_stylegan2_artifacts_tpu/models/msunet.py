@@ -384,11 +384,15 @@ class MSUNet(nn.Module):
         remat_mode = str(config.TPU.REMAT)
         size = img_size or config.DATA.IMG_SIZE
         if remat_mode == "auto":
-            # r2 sweep at 1024² batch 2 (BASELINE.md): none 5.16, dots
-            # 5.10, high_res 5.32 (best), high_res_dots 5.00, full 5.05
-            # img/s — the fused attention kernel removed the saved-probs
-            # pressure, so only the cheap stages are worth rematting.
-            remat_mode = "high_res" if size >= 1024 else "none"
+            # r2 sweeps at 1024² batch 2 (BASELINE.md): with the mixed
+            # fused-attention kernel, none 5.35 > high_res 5.33; on the
+            # pure XLA path high_res 5.32 > none 5.16 (the kernel's
+            # flash bwd is what removes the memory pressure).
+            if size >= 1024:
+                remat_mode = ("none" if config.TPU.USE_PALLAS_ATTENTION
+                              else "high_res")
+            else:
+                remat_mode = "none"
         remat = bool(config.TRAIN.USE_CHECKPOINT) or remat_mode in (
             "full", "dots")
         remat_high = remat_mode == "high_res"
