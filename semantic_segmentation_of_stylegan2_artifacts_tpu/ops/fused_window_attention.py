@@ -72,6 +72,13 @@ _S_CAP = 512
 # run ~2% faster than chunked programs (fewer programs, no pad windows).
 _MAX_BODY_WINDOWS = 20
 
+# small grids run WHOLE-IMAGE programs (grid = batch only): at 32²/16²
+# token grids the per-program fixed costs dominate (stage 2's 18 blocks
+# were the largest item of the 512² step at 40 programs each), so one
+# program covers every window of the image when the padded token count
+# fits this cap.
+_IMG_CAP = 1280
+
 
 def _chunk_windows(n_tok: int) -> int:
     """Windows per width-chunk when a strip must be split."""
@@ -87,13 +94,21 @@ def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
     return tuple(sizes)
 
 
-def _strip_to_wm(strip, wm_ref, wh: int, ww: int, nww: int, c3: int):
-    """Spatial strip ``(wh, Wc, 3C)`` -> window-major rows of ``wm_ref``."""
+def _tile_to_wm(tile, wm_ref, wh: int, ww: int, c3: int):
+    """Spatial tile ``(R*wh, Wc, 3C)`` -> window-major rows of ``wm_ref``.
+
+    Handles both one window-row strip (R=1) and whole-image tiles;
+    window index order is row-major (wr * nww + wc).
+    """
     n = wh * ww
-    for w in range(nww):
-        wm_ref[w * n:(w + 1) * n, :] = (
-            strip[:, w * ww:(w + 1) * ww, :].reshape(n, c3)
-        )
+    nwh, nww = tile.shape[0] // wh, tile.shape[1] // ww
+    for wr in range(nwh):
+        for wc_ in range(nww):
+            w = wr * nww + wc_
+            wm_ref[w * n:(w + 1) * n, :] = (
+                tile[wr * wh:(wr + 1) * wh,
+                     wc_ * ww:(wc_ + 1) * ww, :].reshape(n, c3)
+            )
 
 
 def _softmax_rows(x):
@@ -119,11 +134,12 @@ def _fwd_kernel(
     heads: int,
     chunked: bool,
 ):
-    wc, c3 = qkv_ref.shape[-2], qkv_ref.shape[-1]
+    tile = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
+    hb, wc, c3 = tile.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nwc = wc // ww  # windows in this program
+    nwc = (hb // wh) * (wc // ww)  # windows in this program
     scale = hd ** -0.5
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     if chunked:
@@ -138,8 +154,7 @@ def _fwd_kernel(
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    strip = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
-    _strip_to_wm(strip, wm_ref, wh, ww, nwc, c3)
+    _tile_to_wm(tile, wm_ref, wh, ww, c3)
 
     w0 = 0
     for g in _group_sizes(nwc, n):
@@ -159,8 +174,9 @@ def _fwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            mblk = mask_ref[0, 0] if chunked else mask_ref[0]
-            blk += mblk[w0:w0 + g].reshape(s, n)
+            mall = (mask_ref[0, 0] if chunked
+                    else mask_ref[...].reshape(nwc, n, n))
+            blk += mall[w0:w0 + g].reshape(s, n)
             probs = _softmax_rows(blk).astype(z_ref.dtype)
             for w in range(g):
                 z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
@@ -175,12 +191,14 @@ def _fwd_kernel(
             )
         w0 += g
 
+    nww_blk = wc // ww
     for w in range(nwc):
+        wr, wc_ = divmod(w, nww_blk)
         owc = ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
         if chunked:
-            o_ref[0, :, 0, w * ww:(w + 1) * ww, :] = owc
+            o_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = owc
         else:
-            o_ref[0, :, w * ww:(w + 1) * ww, :] = owc
+            o_ref[0, wr * wh:(wr + 1) * wh, wc_ * ww:(wc_ + 1) * ww, :] = owc
 
 
 def _bwd_kernel(
@@ -204,11 +222,13 @@ def _bwd_kernel(
     heads: int,
     chunked: bool,
 ):
-    wc, c3 = qkv_ref.shape[-2], qkv_ref.shape[-1]
+    tile = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
+    hb, wc, c3 = tile.shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nwc = wc // ww
+    nwc = (hb // wh) * (wc // ww)
+    nww_blk = wc // ww
     scale = hd ** -0.5
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     if chunked:
@@ -220,13 +240,9 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    strip = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
-    _strip_to_wm(strip, wm_ref, wh, ww, nwc, c3)
-    dstrip = dctx_ref[0, :, 0] if chunked else dctx_ref[0]
-    for w in range(nwc):
-        dcw_ref[w * n:(w + 1) * n, :] = (
-            dstrip[:, w * ww:(w + 1) * ww, :].reshape(n, c)
-        )
+    _tile_to_wm(tile, wm_ref, wh, ww, c3)
+    dtile = dctx_ref[0, :, 0] if chunked else dctx_ref[0]
+    _tile_to_wm(dtile, dcw_ref, wh, ww, c)
 
     w0 = 0
     for g in _group_sizes(nwc, n):
@@ -248,8 +264,9 @@ def _bwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            mblk = mask_ref[0, 0] if chunked else mask_ref[0]
-            blk += mblk[w0:w0 + g].reshape(s, n)
+            mall = (mask_ref[0, 0] if chunked
+                    else mask_ref[...].reshape(nwc, n, n))
+            blk += mall[w0:w0 + g].reshape(s, n)
             probs = _softmax_rows(blk)
             pz = probs.astype(z_ref.dtype)
             for w in range(g):
@@ -297,20 +314,27 @@ def _bwd_kernel(
         w0 += g
 
     for w in range(nwc):
+        wr, wc_ = divmod(w, nww_blk)
         dq_wc = (dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
                  ).astype(dqkv_ref.dtype)
         if chunked:
-            dqkv_ref[0, :, 0, w * ww:(w + 1) * ww, :] = dq_wc
+            dqkv_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
         else:
-            dqkv_ref[0, :, w * ww:(w + 1) * ww, :] = dq_wc
+            dqkv_ref[0, wr * wh:(wr + 1) * wh,
+                     wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
 
 
 def _layout(nww: int, n: int) -> Tuple[int, int]:
-    """(windows per program, width-chunks per strip)."""
+    """(windows per program-row, width-chunks per strip)."""
     if nww <= _MAX_BODY_WINDOWS:
         return nww, 1
     g = _chunk_windows(n)
     return g, -(-nww // g)  # wrapper pads nww up to k*g
+
+
+def _image_mode(nwh: int, nww: int, n: int) -> bool:
+    """One program per image: small grids where program count dominates."""
+    return nwh * nww * n <= _IMG_CAP
 
 
 def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
@@ -324,6 +348,18 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     nwh, nww = hp // wh, wp // ww
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
+    if k == 1 and _image_mode(nwh, nww, n):
+        # whole image per program
+        grid = (b, 1)
+        in_specs = [
+            pl.BlockSpec((1, hp, wp, c3), lambda b_, i: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwh, nww, n, n), lambda b_, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        return grid, in_specs, nwh * nww, k
     if k == 1:
         grid = (b, nwh)
         in_specs = [
@@ -386,9 +422,16 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
                                 memory_space=pltpu.VMEM)
     else:
         qkv_in, mask_in = qkv, mask
+        blk_h = in_specs[0].block_shape[1]
         out_shape = jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype)
-        out_spec = pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
-                                memory_space=pltpu.VMEM)
+        if blk_h == hp:  # image mode
+            out_spec = pl.BlockSpec((1, hp, wp, c),
+                                    lambda b_, i: (b_, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            out_spec = pl.BlockSpec((1, wh, wp, c),
+                                    lambda b_, i: (b_, i, 0, 0),
+                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
                           chunked=chunked),
@@ -429,16 +472,27 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
         )
     else:
         qkv_in, dctx_in, mask_in = qkv, dctx, mask
-        in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
-                                        lambda b_, i: (b_, i, 0, 0),
-                                        memory_space=pltpu.VMEM))
+        blk_h = in_specs[0].block_shape[1]
+        if blk_h == hp:  # image mode
+            in_specs.insert(1, pl.BlockSpec((1, hp, wp, c),
+                                            lambda b_, i: (b_, 0, 0, 0),
+                                            memory_space=pltpu.VMEM))
+            dq_spec = pl.BlockSpec((1, hp, wp, c3),
+                                   lambda b_, i: (b_, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
+                                            lambda b_, i: (b_, i, 0, 0),
+                                            memory_space=pltpu.VMEM))
+            dq_spec = pl.BlockSpec((1, wh, wp, c3),
+                                   lambda b_, i: (b_, i, 0, 0),
+                                   memory_space=pltpu.VMEM)
         out_shapes = (
             jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
             jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
         )
         out_specs = (
-            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            dq_spec,
             pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         )

@@ -47,7 +47,9 @@ CASES = [
     (16, 16, 16, 2, (7, 7), (3, 3)),   # pad + shift masks
     (10, 12, 24, 3, (5, 5), (2, 2)),   # asymmetric + window 5
     (7, 7, 16, 2, (7, 7), (3, 3)),     # single window: shift dropped
-    (7, 77, 16, 2, (7, 7), (3, 0)),    # 11 windows/strip: two groups [10,1]
+    (7, 77, 16, 2, (7, 7), (3, 0)),    # 11-window image (two groups [10,1])
+    (28, 98, 16, 2, (7, 7), (3, 3)),   # strip mode (2744 tokens > _IMG_CAP)
+    (14, 147, 16, 2, (7, 7), (0, 3)),  # chunked mode (21 windows/strip)
 ]
 
 
@@ -66,8 +68,10 @@ def test_forward_matches_xla_path(h, w, c, heads, window, shift):
 
 
 @pytest.mark.parametrize("h,w,c,heads,window,shift", [
-    (14, 14, 16, 2, (7, 7), (3, 3)),
-    (16, 16, 16, 2, (7, 7), (3, 3)),
+    (14, 14, 16, 2, (7, 7), (3, 3)),   # image mode
+    (16, 16, 16, 2, (7, 7), (3, 3)),   # image mode, padded grid
+    (28, 98, 16, 2, (7, 7), (3, 3)),   # strip mode
+    (14, 147, 16, 2, (7, 7), (0, 3)),  # chunked mode
 ])
 def test_vjp_matches_xla_path(h, w, c, heads, window, shift):
     inp = _make_inputs(jax.random.PRNGKey(1), 2, h, w, c, heads, window)
