@@ -72,12 +72,15 @@ _S_CAP = 512
 # run ~2% faster than chunked programs (fewer programs, no pad windows).
 _MAX_BODY_WINDOWS = 20
 
-# small grids run WHOLE-IMAGE programs (grid = batch only): at 32²/16²
-# token grids the per-program fixed costs dominate (stage 2's 18 blocks
-# were the largest item of the 512² step at 40 programs each), so one
-# program covers every window of the image when the padded token count
-# fits this cap.
-_IMG_CAP = 1280
+# small grids can run WHOLE-IMAGE programs (grid = batch only).  At
+# 32²/16² token grids the per-program fixed costs dominate (stage 2's 18
+# blocks were the largest 512² step item at 40 programs each), but the
+# unrolled image bodies (25 windows × 16 heads; 9 × 32 at stage 3) OOM
+# the remote Mosaic compiler (SIGKILL, r2) — in-body head loops can't be
+# rolled because dynamic lane slices must be 128-aligned (probed).  The
+# mode stays implemented and interpreter-tested but DISABLED until a
+# head-grouped channel layout bounds the body size.
+_IMG_CAP = 0
 
 
 def _chunk_windows(n_tok: int) -> int:

@@ -91,6 +91,21 @@ def test_vjp_matches_xla_path(h, w, c, heads, window, shift):
             atol=3e-5, rtol=3e-5, err_msg=key)
 
 
+def test_image_mode_path(monkeypatch):
+    """Whole-image programs (disabled by default; see _IMG_CAP note)."""
+    monkeypatch.setattr(fwa, "_IMG_CAP", 4096)
+    inp = _make_inputs(jax.random.PRNGKey(2), 2, 16, 16, 16, 2, (7, 7))
+    kw = dict(window_size=(7, 7), shift_size=(3, 3), num_heads=2)
+    want = shifted_window_attention(
+        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
+        inp["proj_bias"], inp["bias_table"], **kw)
+    got = fwa.fused_shifted_window_attention(
+        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
+        inp["proj_bias"], inp["bias_table"], **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_model_flag_routes_to_fused_kernel(monkeypatch):
     """``use_pallas=True`` (TPU.USE_PALLAS_ATTENTION) hits the kernel."""
     from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
