@@ -38,12 +38,12 @@ PEAK_BF16_FLOPS = 197e12
 
 def _pallas_cfg(args):
     """Fused attention on; wide stages to XLA at 1024^2+ (BASELINE.md)."""
-    if args.no_pallas_attn:
-        return False
-    if args.img < 1024:
-        return True
-    grids = [args.img // 4 // (2 ** i) for i in range(4)]
-    return tuple((g + (-g % 7)) // 7 <= 10 for g in grids)
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.msunet import (
+        _pallas_stages,
+    )
+
+    return _pallas_stages(not args.no_pallas_attn, args.img,
+                          patch=4, n_stages=4, window=7)
 
 
 def main():

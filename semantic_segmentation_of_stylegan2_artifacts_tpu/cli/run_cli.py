@@ -99,17 +99,30 @@ def run_sweep(trials, python: str, train_py: str, cfg_path: str,
             for key, out, ov in trials
         }
 
-    def one(i, key, out, ov):
-        env = os.environ.copy()
-        for template in slot_env:
-            var, _, val = template.partition("=")
-            env[var] = val.format(slot=i % jobs)
-        return key, run_trial(cfg_path, out, ov, python, train_py,
-                              env=env, copy_cfg=True)
+    # slots are leased from a free pool, not derived from the trial
+    # index — index-derived slots can collide when trials finish out of
+    # order (two live trials pinned to the same device)
+    import queue
+
+    free_slots: "queue.Queue[int]" = queue.Queue()
+    for slot in range(jobs):
+        free_slots.put(slot)
+
+    def one(key, out, ov):
+        slot = free_slots.get()
+        try:
+            env = os.environ.copy()
+            for template in slot_env:
+                var, _, val = template.partition("=")
+                env[var] = val.format(slot=slot)
+            return key, run_trial(cfg_path, out, ov, python, train_py,
+                                  env=env, copy_cfg=True)
+        finally:
+            free_slots.put(slot)
 
     scores = {}
     with cf.ThreadPoolExecutor(jobs) as pool:
-        futs = [pool.submit(one, i, *t) for i, t in enumerate(trials)]
+        futs = [pool.submit(one, *t) for t in trials]
         for fut in futs:
             key, score = fut.result()
             scores[key] = score

@@ -49,6 +49,39 @@ def dynamic_loss_multiclass(
     return jnp.mean(per)
 
 
+def dynamic_loss_multiclass_per_sample(
+    logits: jax.Array,
+    targets: jax.Array,
+    alpha: float = 0.4,
+    beta: float = 0.6,
+    tversky_bce_mix: float = 0.5,
+    smooth: float = 1e-6,
+) -> jax.Array:
+    """Class-averaged Dynamic loss per sample: ``(B,)``.
+
+    Used by the batched validation pass so padded trailing batches
+    (``EvalLoader(pad_to_batch=True)``) can drop the repeated tail before
+    aggregation — a batch-mean scalar would double-weight the padding.
+    """
+    if logits.ndim != 4 or targets.ndim != 4:
+        raise ValueError(
+            f"expected (B,H,W,C) logits/targets, got {logits.shape} / "
+            f"{targets.shape}"
+        )
+    b, h, w, c = logits.shape
+    targets = _normalize_target(targets)
+    lf = logits.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    tf = targets.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    bce = bce_with_logits(lf, tf, axis=2)
+    ti = tversky_index(jax.nn.sigmoid(lf.astype(jnp.float32)), tf, alpha,
+                       beta, smooth, axis=2)
+    tv = 1.0 - ti
+    has_fg = jnp.sum(tf, axis=2) != 0.0
+    mixed = (1.0 - tversky_bce_mix) * bce + tversky_bce_mix * tv
+    per = jnp.where(has_fg, mixed, bce)  # (B, C)
+    return jnp.mean(per, axis=1)
+
+
 def per_class_dice(
     probs: jax.Array, labels: jax.Array, sig_threshold: float = 0.5,
     smooth: float = 1e-8,

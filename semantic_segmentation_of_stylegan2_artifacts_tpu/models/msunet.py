@@ -260,7 +260,10 @@ class MSUNetSys(nn.Module):
         self.norm_up = layer_norm("norm_up", self.dtype)
         self.up = FinalPatchExpandX4V2(
             dim=self.embed_dim, gelu_tanh=self.gelu_tanh,
-            fused_head=self.fused_head, dtype=self.dtype, name="up",
+            # spatial sharding bypasses ALL Pallas kernels (custom calls
+            # aren't auto-partitioned), the head one included
+            fused_head=self.fused_head and not self.spatial_axis,
+            dtype=self.dtype, name="up",
         )
         self.output = nn.Conv(
             self.num_classes,
@@ -383,14 +386,22 @@ class MSUNet(nn.Module):
             )
         remat_mode = str(config.TPU.REMAT)
         size = img_size or config.DATA.IMG_SIZE
+        # the kernel falls back to the XLA attention path in TRAINING
+        # whenever a dropout rng is needed (WindowAttention), so the
+        # memory-policy decision below must key on the effective state,
+        # not just the flag
+        kernel_in_train = (
+            bool(config.TPU.USE_PALLAS_ATTENTION)
+            and float(config.MODEL.ATTN_DROP_RATE) == 0.0
+            and float(config.MODEL.DROP_RATE) == 0.0
+        )
         if remat_mode == "auto":
             # r2 sweeps at 1024² batch 2 (BASELINE.md): with the mixed
             # fused-attention kernel, none 5.35 > high_res 5.33; on the
             # pure XLA path high_res 5.32 > none 5.16 (the kernel's
             # flash bwd is what removes the memory pressure).
             if size >= 1024:
-                remat_mode = ("none" if config.TPU.USE_PALLAS_ATTENTION
-                              else "high_res")
+                remat_mode = "none" if kernel_in_train else "high_res"
             else:
                 remat_mode = "none"
         remat = bool(config.TRAIN.USE_CHECKPOINT) or remat_mode in (

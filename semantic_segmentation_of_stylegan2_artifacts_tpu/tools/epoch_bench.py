@@ -69,10 +69,14 @@ def main():
                          num_workers=args.workers)
     print(f"native decode: {native.available()}", file=sys.stderr)
 
+    from ..models.msunet import _pallas_stages
+
     model = MSUNet(img_size=args.img, embed_dim=128, depths=(2, 2, 18, 2),
                    num_heads=(4, 8, 16, 32), window_size=7,
                    dtype=jnp.bfloat16, softmax_dtype=jnp.bfloat16,
-                   gelu_tanh=True, fused_head=True, use_pallas=True)
+                   gelu_tanh=True, fused_head=True,
+                   use_pallas=_pallas_stages(True, args.img, patch=4,
+                                             n_stages=4, window=7))
     config = default_config()
     config.defrost()
     config.DATA.IMG_SIZE = args.img

@@ -182,6 +182,10 @@ def make_eval_step(
         from ..losses.losses import dynamic_loss_per_sample
 
         loss_impl = dynamic_loss_per_sample
+    elif per_sample:
+        from ..losses.multiclass import dynamic_loss_multiclass_per_sample
+
+        loss_impl = dynamic_loss_multiclass_per_sample
 
     def step_fn(params, image_u8, label_u8):
         images = normalize_images(image_u8, model.dtype)

@@ -147,3 +147,31 @@ def test_multiclass_trainer_end_to_end(tmp_path):
     assert len(rows) == 2
     preds = os.listdir(os.path.join(out_dir, "final_preds"))
     assert any(p.endswith("_grey_heats.png") for p in preds)
+
+
+def test_multiclass_per_sample_loss_matches_batch_mean():
+    """Per-sample variant: mean equals the scalar loss; padding droppable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.losses.multiclass import (
+        dynamic_loss_multiclass,
+        dynamic_loss_multiclass_per_sample,
+    )
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 8, 8, 3).astype(np.float32))
+    targets = jnp.asarray((rng.rand(4, 8, 8, 3) > 0.7).astype(np.float32))
+    per = dynamic_loss_multiclass_per_sample(logits, targets, 0.3, 0.7, 0.5)
+    total = dynamic_loss_multiclass(logits, targets, 0.3, 0.7, 0.5)
+    assert per.shape == (4,)
+    np.testing.assert_allclose(float(jnp.mean(per)), float(total), rtol=1e-6)
+    # a padded (repeated) tail changes the batch mean but not the
+    # leading per-sample entries — the padded-eval correctness property
+    padded_logits = jnp.concatenate([logits, logits[-1:]], axis=0)
+    padded_targets = jnp.concatenate([targets, targets[-1:]], axis=0)
+    per_padded = dynamic_loss_multiclass_per_sample(
+        padded_logits, padded_targets, 0.3, 0.7, 0.5)
+    np.testing.assert_allclose(np.asarray(per_padded[:4]), np.asarray(per),
+                               rtol=1e-6)
