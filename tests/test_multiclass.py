@@ -175,3 +175,63 @@ def test_multiclass_per_sample_loss_matches_batch_mean():
         padded_logits, padded_targets, 0.3, 0.7, 0.5)
     np.testing.assert_allclose(np.asarray(per_padded[:4]), np.asarray(per),
                                rtol=1e-6)
+
+
+def test_multiclass_padded_eval_matches_batch1(tmp_path):
+    """Padded EVAL_BATCH validation == batch-1 for num_classes > 1.
+
+    Regression for the r2 review finding: the batch-mean multiclass eval
+    loss double-weighted the repeated padding rows; the per-sample loss
+    variant drops the tail before aggregation.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        default_config,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.dataset import (
+        SegArtifactDataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.pipeline import (
+        EvalLoader,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.synthetic import (
+        generate_synthetic_dataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train import (
+        create_train_state,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.state import (
+        make_eval_step,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        validate,
+    )
+
+    root = str(tmp_path / "mc")
+    generate_synthetic_dataset(root, img_size=32, num_classes=3)
+    model = MSUNet(img_size=32, embed_dim=8, depths=(1, 1, 1, 1),
+                   num_heads=(2, 2, 2, 2), window_size=4, num_classes=3)
+    c = default_config()
+    c.defrost()
+    c.DATA.IMG_SIZE = 32
+    c.MODEL.NUM_CLASSES = 3
+    state = create_train_state(model, c, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    ev = make_eval_step(model, 0.2, 0.8, 0.45, num_classes=3,
+                        per_sample=True)
+    ds = SegArtifactDataset(root, os.path.join(root, "lists"), "val")
+    out1 = validate(ev, state.params, EvalLoader(ds, img_size=32,
+                                                 num_classes=3),
+                    1, 0.5, num_classes=3)
+    pad_bs = 4
+    assert len(ds) % pad_bs != 0, "need a ragged tail"
+    padded = EvalLoader(ds, img_size=32, num_classes=3, batch_size=pad_bs,
+                        pad_to_batch=True)
+    out2 = validate(ev, state.params, padded, 1, 0.5, num_classes=3)
+    assert abs(out1[0] - out2[0]) < 1e-6
+    assert abs(out1[4].mean_val_loss - out2[4].mean_val_loss) < 1e-5
