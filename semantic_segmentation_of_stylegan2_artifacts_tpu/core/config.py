@@ -123,6 +123,14 @@ def _coerce_value(old: Any, new: Any, key: str) -> Any:
         raise TypeError(f"Type mismatch for key {key}: {type(old)} vs {type(new)}")
     if isinstance(old, float) and isinstance(new, int):
         return float(new)
+    if isinstance(old, (int, float)) and isinstance(new, str):
+        # yacs literal_eval compatibility: YAML 1.1 parses dotless
+        # scientific notation ("1e-8", the reference's OPTIMIZER.EPS)
+        # as a STRING; coerce it back to the default's numeric type
+        try:
+            return type(old)(float(new))
+        except ValueError:
+            pass  # fall through to the type-mismatch error
     if isinstance(old, tuple) and isinstance(new, (list, tuple)):
         return tuple(new)
     if isinstance(old, list) and isinstance(new, (list, tuple)):

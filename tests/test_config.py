@@ -188,3 +188,32 @@ def test_editor_get_value(tmp_path):
     ed = ConfigParser(str(p))
     assert ed.get_value("MODEL.DROP_PATH_RATE") == 0.1
     assert ed.get_value("MODEL.SWIN.DEPTHS[2]") == 18
+
+
+def test_shipped_config_loads():
+    """The repo's own config.yaml must load (regression: OPTIMIZER.EPS
+    '1e-8' parses as a STRING under YAML 1.1 and needs yacs-style
+    numeric coercion)."""
+    import os
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        load_config,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo_root, "config.yaml"))
+    assert isinstance(cfg.TRAIN.OPTIMIZER.EPS, float)
+    assert abs(cfg.TRAIN.OPTIMIZER.EPS - 1e-8) < 1e-20
+    assert cfg.TPU.USE_PALLAS_ATTENTION is True
+
+
+def test_scientific_notation_string_coercion(tmp_path):
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        load_config,
+    )
+
+    p = tmp_path / "c.yaml"
+    p.write_text("TRAIN:\n  OPTIMIZER:\n    EPS: 1e-6\n  BASE_LR: 3e-5\n")
+    cfg = load_config(str(p))
+    assert abs(cfg.TRAIN.OPTIMIZER.EPS - 1e-6) < 1e-18
+    assert abs(cfg.TRAIN.BASE_LR - 3e-5) < 1e-12
