@@ -78,7 +78,15 @@ def test_shim_attention_matches_jax_op(ref_model_parts):
                                    err_msg=f"h={h} w={w} shift={shift}")
 
 
-def test_full_graph_logits_match_reference(ref_model_parts):
+@pytest.mark.parametrize("depths,embed,heads", [
+    ((2, 2, 2, 2), 16, (2, 2, 2, 2)),
+    # asymmetric depths exercise the decoder-depth quirk numerically:
+    # the reference's decoder stage 1 reuses ENCODER depths[2] (4 blocks
+    # here, 18 in the real model), not DECODER_DEPTHS (SURVEY §2.1)
+    ((1, 1, 4, 1), 8, (1, 1, 1, 1)),
+])
+def test_full_graph_logits_match_reference(ref_model_parts, depths, embed,
+                                           heads):
     """Reference MSUNetSys (its own wiring code) == our MSUNet, end to end."""
     import jax
     import jax.numpy as jnp
@@ -91,16 +99,16 @@ def test_full_graph_logits_match_reference(ref_model_parts):
     torch.manual_seed(1)
     ref = ref_model_parts.MSUNetSys(
         img_size=224, patch_size=4, in_chans=3, num_classes=1,
-        embed_dim=16, depths=[2, 2, 2, 2], depths_decoder=[2, 2, 2, 2],
-        num_heads=[2, 2, 2, 2], window_size=7, drop_rate=0.0,
+        embed_dim=embed, depths=list(depths), depths_decoder=[2, 2, 2, 2],
+        num_heads=list(heads), window_size=7, drop_rate=0.0,
         attn_drop_rate=0.0, drop_path_rate=0.0,
     )
     ref.eval()
 
     state_dict = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
-    model = MSUNet(img_size=224, embed_dim=16, depths=(2, 2, 2, 2),
-                   num_heads=(2, 2, 2, 2), window_size=7)
+    model = MSUNet(img_size=224, embed_dim=embed, depths=depths,
+                   num_heads=heads, window_size=7)
     rng = np.random.RandomState(2)
     x_nhwc = rng.rand(2, 224, 224, 3).astype(np.float32)
 
