@@ -155,8 +155,10 @@ def main(argv=None):
 
     pred_dir = os.path.join(args.out_dir, "predictions")
     # reference exports binary masks at threshold 0.4 here (test.py:206)
+    # and a copy of the original image per case (test.py:209)
     create_bin_heat_mask_from_list(
-        output_saver, pred_dir, config.DATA.DATA_PATH, threshold=0.4
+        output_saver, pred_dir, config.DATA.DATA_PATH, threshold=0.4,
+        include_original=True,
     )
     logging.info(
         f"TEST mean_dice={mean_dice:.5f} Score={score:.5f} FPR={fpr:.5f}"

@@ -21,31 +21,43 @@ from PIL import Image, ImageDraw
 Point = Tuple[float, float]
 
 
+def _as_point(token: str) -> Optional[Point]:
+    """One ``'x,y'`` token -> ``(x, y)`` floats, or None if malformed."""
+    x_str, sep, y_str = token.partition(",")
+    if not sep or "," in y_str:
+        return None
+    try:
+        return float(x_str), float(y_str)
+    except ValueError:
+        return None
+
+
 def parse_points(points_str: str) -> List[Point]:
-    """``'x1,y1;x2,y2;...' -> [(x1,y1), ...]``; malformed pairs skipped."""
-    pts: List[Point] = []
-    for pair in points_str.strip().split(";"):
-        if not pair:
-            continue
-        xy = pair.split(",")
-        if len(xy) != 2:
-            continue
-        try:
-            pts.append((float(xy[0]), float(xy[1])))
-        except ValueError:
-            continue
-    return pts
+    """CVAT polygon attribute ``'x1,y1;x2,y2;...'`` -> vertex list.
+
+    Tokens that are not exactly two comma-separated floats are dropped
+    (tolerant-parse contract of reference ``dataset/build_mask.py:20-33``).
+    """
+    tokens = (t for t in points_str.strip().split(";") if t)
+    return [p for p in map(_as_point, tokens) if p is not None]
 
 
 def make_mask_for_image(width: int, height: int,
                         polygons: Sequence[Sequence[Point]]) -> Image.Image:
-    """Rasterize polygons (>=3 points each) into a 0/255 mask."""
-    mask = Image.new("L", (width, height), 0)
-    draw = ImageDraw.Draw(mask)
-    for poly in polygons:
-        if len(poly) >= 3:
-            draw.polygon([tuple(p) for p in poly], fill=255, outline=255)
-    return mask
+    """Union of filled polygons as a 0/255 single-channel image.
+
+    Degenerate polygons (<3 vertices) contribute nothing; both fill and
+    outline are painted so boundary pixels land inside the mask
+    (behavior contract of reference ``dataset/build_mask.py:35-42``).
+    """
+    canvas = Image.new("L", (width, height))
+    pen = ImageDraw.Draw(canvas)
+    for verts in polygons:
+        if len(verts) < 3:
+            continue
+        pen.polygon([(float(x), float(y)) for x, y in verts],
+                    fill=255, outline=255)
+    return canvas
 
 
 def build_masks(

@@ -119,12 +119,21 @@ def create_bin_heat_mask_from_list(
     pred_dir: str,
     dataset_root: str,
     threshold: float = 0.5,
+    include_original: bool = False,
 ) -> List[str]:
     """Per-case export: grey heat, binary mask, color heatmap, overlay.
 
-    Routes to ``fake_images/``/``real_images/`` by the "09" id prefix
-    (reference ``trainer.py:458-491`` and ``map_generator.py:147-188``;
-    trainer-side threshold 0.5, test-side 0.4 — pass ``threshold``).
+    Routes to ``fake_images/``/``real_images/`` by the "09" id prefix.
+    Two naming contracts, both from the reference:
+
+    * trainer-side (``include_original=False``, reference
+      ``trainer.py:458-491``): grey heat + bin mask (threshold 0.5) +
+      color heatmap as ``{case}_overlay_color.png`` (the contour overlay
+      written as ``{case}_overlay_contour.png`` is an addition here);
+    * test-side (``include_original=True``, reference ``test.py:183-224``):
+      additionally copies the original image to ``{case}.png``, names the
+      color heatmap ``{case}_heatmap.png`` and the magenta contour
+      overlay ``{case}_overlay_color.png`` (threshold 0.4 there).
     """
     os.makedirs(pred_dir, exist_ok=True)
     written: List[str] = []
@@ -143,9 +152,17 @@ def create_bin_heat_mask_from_list(
         save_grey_heatmap(heat, grey)
         binp = os.path.join(pred_dir, f"{case_name}_bin_mask.png")
         save_binary_mask(heat, binp, threshold)
-        colp = os.path.join(pred_dir, f"{case_name}_overlay_color.png")
+        written += [grey, binp]
+        if include_original:
+            orig = os.path.join(pred_dir, f"{case_name}.png")
+            Image.fromarray(image, "RGB").save(orig)
+            colp = os.path.join(pred_dir, f"{case_name}_heatmap.png")
+            ovp = os.path.join(pred_dir, f"{case_name}_overlay_color.png")
+            written.append(orig)
+        else:
+            colp = os.path.join(pred_dir, f"{case_name}_overlay_color.png")
+            ovp = os.path.join(pred_dir, f"{case_name}_overlay_contour.png")
         save_color_heatmap(image, heat, colp, alpha=0.45)
-        ovp = os.path.join(pred_dir, f"{case_name}_overlay_contour.png")
         overlay_mask_on_image(image, heat > threshold, ovp)
-        written += [grey, binp, colp, ovp]
+        written += [colp, ovp]
     return written

@@ -85,8 +85,16 @@ def test_test_cli_evaluates_checkpoint(trained_run):
     assert "mean_soft_dice" in proc.stdout
     assert os.path.exists(os.path.join(eval_dir, "log.txt"))
     preds = os.listdir(os.path.join(eval_dir, "predictions"))
-    # 3 test cases x 4 exports
-    assert len([p for p in preds if p.endswith(".png")]) == 12
+    # 3 test cases x 5 exports (grey heat, bin mask, original copy,
+    # color heatmap, contour overlay — reference test.py:183-224)
+    assert len([p for p in preds if p.endswith(".png")]) == 15
+    cases = [p[: -len("_grey_heats.png")] for p in preds
+             if p.endswith("_grey_heats.png")]
+    assert len(cases) == 3
+    for case in cases:
+        assert f"{case}.png" in preds          # original image copy
+        assert f"{case}_heatmap.png" in preds  # color heatmap (test naming)
+        assert f"{case}_overlay_color.png" in preds  # contour overlay
 
 
 def test_train_cli_rejects_missing_cfg():
