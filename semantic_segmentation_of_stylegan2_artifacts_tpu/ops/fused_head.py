@@ -152,6 +152,12 @@ def supported(x_shape, gelu_tanh: bool) -> bool:
         return False
     if INTERPRET:
         return True
+    # the in-kernel reshape splits the lane axis into (4, 4, C); Mosaic
+    # rejects the shape cast when C is narrower than one 128-lane tile
+    # ("infer-vector-layout: unsupported shape cast", probed on v5e with
+    # C=16 at img 32) — tiny configs fall back to the XLA path
+    if (c16 // 16) % 128:
+        return False
     try:
         # the axon relay registers the v5e chip under its own platform name
         return jax.devices()[0].platform in ("tpu", "axon")

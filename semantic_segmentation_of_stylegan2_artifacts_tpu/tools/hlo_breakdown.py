@@ -1,0 +1,153 @@
+"""Op-level breakdown of the compiled train step from its scheduled HLO.
+
+The relay backend can't trace (``jax.profiler`` no-ops) and never writes
+``--xla_dump_to`` locally, but AOT compilation returns the scheduled
+post-optimization HLO as text.  This tool compiles the REAL train step,
+parses that text (:mod:`..utils.hlo_analysis`), and prints a
+per-section / per-op table of estimated roofline times scaled to the
+measured step time — replacing the r2 stub-ablation workflow
+(VERDICT.md weak #6).
+
+Usage::
+
+    python -m semantic_segmentation_of_stylegan2_artifacts_tpu.tools.hlo_breakdown \
+        [--img 512] [--batch 8] [--gelu_exact] [--no_pallas_attn] [--top 40]
+        [--save /tmp/step_hlo.txt] [--no_measure]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_step(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.config import default_config
+    from ..models import MSUNet
+    from ..models.msunet import _pallas_stages
+    from ..train import create_train_state
+    from ..train.state import make_train_step
+
+    model = MSUNet(
+        img_size=args.img, embed_dim=128, depths=(2, 2, 18, 2),
+        num_heads=(4, 8, 16, 32), window_size=7, dtype=jnp.bfloat16,
+        softmax_dtype=jnp.float32 if args.softmax_f32 else jnp.bfloat16,
+        gelu_tanh=not args.gelu_exact,
+        fused_head=not (args.gelu_exact or args.no_fused_head),
+        use_pallas=_pallas_stages(not args.no_pallas_attn, args.img,
+                                  patch=4, n_stages=4, window=7),
+    )
+    config = default_config()
+    config.defrost()
+    config.DATA.IMG_SIZE = args.img
+    config.MODEL.FREEZE_ENCODER = False
+    config.freeze()
+
+    import jax
+
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0),
+        jnp.zeros((1, args.img, args.img, 3), jnp.bfloat16),
+    )
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(
+        rng.randint(0, 255, (args.batch, args.img, args.img, 3), np.uint8))
+    label = jnp.asarray(
+        (rng.rand(args.batch, args.img, args.img) > 0.8).astype(np.uint8))
+    lr = jnp.asarray(1e-4, jnp.float32)
+    step = make_train_step(model, 0.2, 0.8, 0.45, donate=True)
+    return step, state, image, label, lr
+
+
+def main():
+    from ..utils.platform import apply_platform_override
+
+    apply_platform_override()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--gelu_exact", action="store_true")
+    ap.add_argument("--no_pallas_attn", action="store_true")
+    ap.add_argument("--no_fused_head", action="store_true")
+    ap.add_argument("--softmax_f32", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--save", default="",
+                    help="also write the raw HLO text here")
+    ap.add_argument("--no_measure", action="store_true",
+                    help="skip the on-device timing (estimates only)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from ..utils import hlo_analysis as H
+
+    t0 = time.time()
+    step, state, image, label, lr = build_step(args)
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    compiled = step.lower(state, image, label, lr).compile()
+    print(f"compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    text = compiled.as_text()
+    print(f"HLO text: {len(text)/1e6:.1f} MB", file=sys.stderr)
+    if args.save:
+        with open(args.save, "w") as f:
+            f.write(text)
+
+    costs = H.analyze(text)
+    est_total = sum(c.est_seconds for c in costs)
+
+    measured = None
+    if not args.no_measure:
+        import jax.numpy as jnp
+
+        for _ in range(2):
+            state, loss = compiled(state, image, label, lr)
+        float(loss)  # value-fetch sync (block_until_ready lies on relay)
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, loss = compiled(state, image, label, lr)
+        float(loss)
+        measured = (time.time() - t0) / args.iters
+        print(f"measured step: {measured*1e3:.2f} ms "
+              f"(estimated roofline: {est_total*1e3:.2f} ms, "
+              f"ratio {measured/est_total:.2f}x)")
+    scale = (measured / est_total) if measured else 1.0
+
+    groups = H.group_costs(costs)
+    print(f"\n== per-section (scaled to "
+          f"{'measured' if measured else 'estimate'}) ==")
+    print(f"{'dir':4s} {'section':20s} {'ms':>8s} {'share':>6s} "
+          f"{'GB':>7s} {'GFLOP':>8s} {'Gtrans':>7s} {'ops':>5s}")
+    for (d, s), g in sorted(groups.items(),
+                            key=lambda kv: -kv[1]["est"]):
+        print(f"{d:4s} {s:20s} {g['est']*scale*1e3:8.3f} "
+              f"{g['est']/est_total*100:5.1f}% "
+              f"{g['bytes']/1e9:7.3f} {g['flops']/1e9:8.1f} "
+              f"{g['trans']/1e9:7.2f} {g['n']:5d}")
+
+    print(f"\n== top {args.top} instructions ==")
+    print(f"{'ms':>7s} {'opcode':14s} {'GB':>7s} {'GFLOP':>8s} op_name")
+    for c in sorted(costs, key=lambda c: -c.est_seconds)[:args.top]:
+        tag = " [pallas]" if c.is_kernel else ""
+        print(f"{c.est_seconds*scale*1e3:7.3f} {c.opcode:14s} "
+              f"{c.bytes/1e9:7.3f} {c.flops/1e9:8.1f} "
+              f"{c.op_name[-90:]}{tag}")
+
+    # aggregate cross-check from XLA's own cost model
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        print(f"\nXLA cost_analysis: flops={ca.get('flops', 0)/1e12:.3f}T "
+              f"bytes={ca.get('bytes accessed', 0)/1e9:.2f}GB "
+              f"optimal_seconds={ca.get('optimal_seconds', 0)*1e3:.2f}ms")
+    except Exception as e:  # noqa: BLE001
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
