@@ -140,6 +140,10 @@ class WindowAttention(nn.Module):
     dropout: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    # mesh for per-shard kernel execution under data parallelism (Pallas
+    # custom calls are not partitioned by GSPMD; see fused ops' shard_map)
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     window_group: int = 0  # 0 => auto (pick_window_group)
     softmax_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
@@ -205,6 +209,8 @@ class WindowAttention(nn.Module):
                 window_size=tuple(self.window_size),
                 shift_size=tuple(self.shift_size),
                 num_heads=self.num_heads,
+                data_mesh=self.data_mesh,
+                data_axis=self.data_axis,
             )
         return shifted_window_attention(
             x.astype(self.dtype),
@@ -241,6 +247,8 @@ class SwinBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     window_group: int = 0
     gelu_tanh: bool = False
     softmax_dtype: jnp.dtype = jnp.float32
@@ -259,6 +267,8 @@ class SwinBlock(nn.Module):
             dropout=self.dropout,
             qkv_bias=self.qkv_bias,
             use_pallas=self.use_pallas,
+            data_mesh=self.data_mesh,
+            data_axis=self.data_axis,
             window_group=self.window_group,
             softmax_dtype=self.softmax_dtype,
             dtype=self.dtype,
@@ -399,6 +409,8 @@ class FinalPatchExpandX4V2(nn.Module):
     dim: int
     gelu_tanh: bool = False
     fused_head: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -411,7 +423,11 @@ class FinalPatchExpandX4V2(nn.Module):
             name="expand",
         )(x)
         if self.fused_head and fused_head.supported(x.shape, self.gelu_tanh):
-            x = fused_head.fused_gelu_d2s4(x)
+            if self.data_mesh is not None:
+                x = fused_head.fused_gelu_d2s4_sharded(
+                    x, self.data_mesh, self.data_axis)
+            else:
+                x = fused_head.fused_gelu_d2s4(x)
         else:
             x = _gelu(x, self.gelu_tanh)
             x = patch_ops.depth_to_space(x, 4)
@@ -509,6 +525,8 @@ class BasicLayer(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     window_group: int = 0
     hold_layout: bool = False
     gelu_tanh: bool = False
@@ -531,6 +549,8 @@ class BasicLayer(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                data_mesh=self.data_mesh,
+                data_axis=self.data_axis,
                 window_group=self.window_group,
                 gelu_tanh=self.gelu_tanh,
                 softmax_dtype=self.softmax_dtype,
@@ -572,6 +592,8 @@ class BasicLayerUp(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     window_group: int = 0
     hold_layout: bool = False
     gelu_tanh: bool = False
@@ -594,6 +616,8 @@ class BasicLayerUp(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                data_mesh=self.data_mesh,
+                data_axis=self.data_axis,
                 window_group=self.window_group,
                 gelu_tanh=self.gelu_tanh,
                 softmax_dtype=self.softmax_dtype,

@@ -143,6 +143,27 @@ def _vjp_bwd(x, g):
 fused_gelu_d2s4.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def fused_gelu_d2s4_sharded(x: jax.Array, data_mesh, data_axis: str = "data"
+                            ) -> jax.Array:
+    """Per-data-shard :func:`fused_gelu_d2s4` via ``shard_map``.
+
+    Pallas custom calls have no GSPMD rule; mapping the batch-leading
+    grid over the mesh's data axis keeps DP training sharded.  All
+    inputs/outputs vary over the data axis only, so the transpose needs
+    no collectives.  Falls back to the single-program call for batches
+    the axis doesn't divide (e.g. batch-1 eval).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = data_mesh.shape.get(data_axis, 1)
+    if n <= 1 or x.shape[0] % n:
+        return fused_gelu_d2s4(x)
+    f = jax.shard_map(fused_gelu_d2s4, mesh=data_mesh,
+                      in_specs=(P(data_axis),), out_specs=P(data_axis),
+                      check_vma=False)  # pallas outputs carry no vma
+    return f(x)
+
+
 def supported(x_shape, gelu_tanh: bool) -> bool:
     """Kernel applicability: TPU backend, tanh mode, 16x channel blocks."""
     if not gelu_tanh:

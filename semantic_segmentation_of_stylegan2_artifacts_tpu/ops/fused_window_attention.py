@@ -512,26 +512,61 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     return dqkv.reshape(b, hp, wp, c3), dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attn_core(qkv, rel_bias, mask, wh, ww, heads):
-    """Window attention on spatial-rolled qkv: ``(B,Hp,Wp,3C)->(B,Hp,Wp,C)``."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_core(qkv, rel_bias, mask, wh, ww, heads, axis=""):
+    """Window attention on spatial-rolled qkv: ``(B,Hp,Wp,3C)->(B,Hp,Wp,C)``.
+
+    ``axis``: mesh axis name when running per-shard under ``shard_map``
+    (data parallelism); the bias-table cotangent is then psum'd over it.
+    """
     return _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
 
 
-def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads):
+def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads, axis=""):
     out = _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
     return out, (qkv, rel_bias, mask)
 
 
-def _attn_core_bwd(wh, ww, heads, res, dctx):
+def _attn_core_bwd(wh, ww, heads, axis, res, dctx):
     qkv, rel_bias, mask = res
     dqkv, dbias = _bwd_pallas(
         qkv, dctx, rel_bias, mask, wh=wh, ww=ww, heads=heads
     )
+    if axis:
+        # rel_bias is replicated across the data axis; its cotangent is
+        # the sum of every shard's contribution (DataParallel semantics,
+        # reference trainer.py:96-97)
+        dbias = jax.lax.psum(dbias, axis)
     return dqkv, dbias.astype(rel_bias.dtype), jnp.zeros_like(mask)
 
 
 _attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
+def _attn_core_sharded(qkv, rel_bias, mask, wh, ww, heads, data_mesh,
+                       data_axis):
+    """Run ``_attn_core`` per data-parallel shard via ``shard_map``.
+
+    Pallas custom calls have no GSPMD partitioning rule — under a mesh
+    the partitioner would otherwise replicate them (full all-gathers of
+    the batch-sharded operands).  The kernel grid leads with batch, so
+    mapping over the ``data`` axis shards it exactly like the XLA path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = data_mesh.shape[data_axis]
+    if qkv.shape[0] % n:
+        # uneven batch (e.g. batch-1 eval on a wide mesh): single-program
+        return _attn_core(qkv, rel_bias, mask, wh, ww, heads)
+    f = jax.shard_map(
+        # custom_vjp nondiff args must ride positionally
+        lambda q, b, m: _attn_core(q, b, m, wh, ww, heads, data_axis),
+        mesh=data_mesh,
+        in_specs=(P(data_axis), P(), P()),
+        out_specs=P(data_axis),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    return f(qkv, rel_bias, mask)
 
 
 def supported(
@@ -581,11 +616,18 @@ def fused_shifted_window_attention(
     window_size: Tuple[int, int],
     shift_size: Tuple[int, int],
     num_heads: int,
+    data_mesh=None,
+    data_axis: str = "data",
 ) -> jax.Array:
     """Drop-in fused counterpart of
     :func:`..ops.window_attention.shifted_window_attention` (deterministic
     path).  qkv/proj projections run in XLA (large fusable matmuls); the
     window-shaped middle runs in the Pallas kernel.
+
+    ``data_mesh``: when training data-parallel, pass the mesh so the
+    kernel runs per-shard under ``shard_map`` over ``data_axis`` (Pallas
+    custom calls are not auto-partitioned by GSPMD); qkv/proj stay in
+    XLA where the partitioner handles them.
     """
     b, h, w, c = x.shape
     wh, ww = window_size
@@ -630,7 +672,11 @@ def fused_shifted_window_attention(
     if qkv_bias is not None:
         qkv = qkv + qkv_bias.astype(qkv.dtype)
 
-    ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
+    if data_mesh is not None and data_mesh.shape.get(data_axis, 1) > 1:
+        ctx = _attn_core_sharded(qkv, rel_bias, mask, wh, ww, num_heads,
+                                 data_mesh, data_axis)
+    else:
+        ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
 
     if pad_chunk:
         ctx = ctx[:, :, :wp, :]

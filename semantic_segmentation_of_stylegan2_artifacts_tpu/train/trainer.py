@@ -149,6 +149,17 @@ def trainer(
         from ..parallel import make_mesh
 
         mesh = make_mesh(n_data=n_dp)
+        if getattr(model, "data_mesh", "missing") is None:
+            # Pallas kernels must run per-shard under a mesh (shard_map
+            # over the data axis) — GSPMD cannot partition custom calls
+            model = model.clone(data_mesh=mesh)
+    try:
+        from ..models.msunet import attention_plan
+
+        for line in attention_plan(model):
+            logger.info(line)
+    except Exception:  # non-MSUNet models have no plan to report
+        pass
 
     os.makedirs(log_save_path, exist_ok=True)
     pred_dir = os.path.join(log_save_path, "final_preds")

@@ -346,13 +346,26 @@ def _fusion_inner_costs(
     return flops, trans, hot_name, dtype
 
 
-# opcodes that move no data / are free at schedule level
+# opcodes that move no data / are free at schedule level.  ``*-done`` halves
+# of async pairs carry no cost of their own (the start was counted);
+# ConcatBitcast stitches VMEM prefetch slices without touching HBM.
 _FREE_OPS = {"parameter", "constant", "bitcast", "tuple", "get-tuple-element",
-             "after-all", "iota"}
+             "after-all", "iota", "copy-done", "async-done"}
+
+# ops that read only what they write (not their whole operand buffers)
+_OUTPUT_ONLY = {"slice", "dynamic-slice", "gather", "copy-start",
+                "async-start"}
 
 
 def analyze(text: str) -> List[OpCost]:
-    """Cost every scheduled instruction of the entry computation."""
+    """Cost every scheduled instruction of the entry computation.
+
+    Byte accounting: every tensor an op reads or writes in HBM counts
+    once at its *physically padded* size; async DMA pairs count at the
+    start only; slices/gathers count their output, not the buffer they
+    index; dynamic-update-slice counts the updated region twice
+    (read-modify-write).
+    """
     comps = parse_module(text)
     entry = entry_computation(comps)
     symtab = entry.table()
@@ -360,15 +373,39 @@ def analyze(text: str) -> List[OpCost]:
     for inst in entry.instructions:
         if inst.opcode in _FREE_OPS:
             continue
+        if inst.opcode == "custom-call" and "ConcatBitcast" in inst.attrs:
+            continue  # VMEM-slice stitch: no HBM traffic
         oc = OpCost(inst.name, inst.opcode, op_name=inst.op_name,
                     source=inst.source)
         if inst.shapes:
             oc.flops_dtype = inst.shapes[0].dtype
-        oc.bytes = inst.out_bytes
-        for op in inst.operands:
-            src = symtab.get(op)
-            if src is not None and src.opcode != "constant":
-                oc.bytes += src.out_bytes
+        if inst.opcode == "async-start":
+            # async slice prefetch (HBM -> VMEM DMA): the called body is a
+            # slice; traffic = its output, attributed via its metadata
+            m = _CALLS_RE.search(inst.attrs)
+            body = comps.get(m.group(1)) if m else None
+            if body is not None and body.instructions:
+                root = body.instructions[-1]
+                oc.bytes = root.out_bytes
+                oc.op_name = oc.op_name or root.op_name
+            else:
+                oc.bytes = inst.out_bytes
+            oc.opcode = "async-prefetch"
+            out.append(oc)
+            continue
+        if inst.opcode in _OUTPUT_ONLY:
+            oc.bytes = 2 * inst.out_bytes  # read the region + write it
+        elif inst.opcode == "dynamic-update-slice":
+            upd = symtab.get(inst.operands[1]) if len(inst.operands) > 1 \
+                else None
+            region = upd.out_bytes if upd is not None else inst.out_bytes
+            oc.bytes = 2 * region
+        else:
+            oc.bytes = inst.out_bytes
+            for op in inst.operands:
+                src = symtab.get(op)
+                if src is not None and src.opcode != "constant":
+                    oc.bytes += src.out_bytes
         if inst.opcode == "convolution":
             oc.flops = _conv_flops(inst, symtab)
         elif inst.opcode == "dot":
