@@ -125,3 +125,50 @@ def test_full_graph_logits_match_reference(ref_model_parts, depths, embed,
 
     assert got_nchw.shape == want.shape
     np.testing.assert_allclose(got_nchw, want, atol=5e-4, rtol=1e-4)
+
+
+def test_full_graph_logits_match_reference_true_depths(ref_model_parts):
+    """End-to-end parity at the REAL Swin-B config: depths (2,2,18,2),
+    embed 128, heads (4,8,16,32), window 7 — the exact model the
+    reference trains (``/root/reference/config.yaml:33-46``,
+    ``network/model_parts.py:610-660``).  The smaller parametrized cases
+    above cover the wiring cheaply; this closes the question of whether
+    the 18-block decoder stage (the decoder-depth quirk at full depth)
+    diverges.  Batch 1 at 224² to bound CPU time."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.weight_convert import (
+        convert_msunet_state_dict,
+    )
+
+    depths, embed, heads = (2, 2, 18, 2), 128, (4, 8, 16, 32)
+    torch.manual_seed(4)
+    ref = ref_model_parts.MSUNetSys(
+        img_size=224, patch_size=4, in_chans=3, num_classes=1,
+        embed_dim=embed, depths=list(depths), depths_decoder=[2, 2, 6, 2],
+        num_heads=list(heads), window_size=7, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0,
+    )
+    ref.eval()
+    state_dict = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = MSUNet(img_size=224, embed_dim=embed, depths=depths,
+                   num_heads=heads, window_size=7)
+    rng = np.random.RandomState(5)
+    x_nhwc = rng.rand(1, 224, 224, 3).astype(np.float32)
+
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(x_nhwc), True)["params"]
+    params = convert_msunet_state_dict(state_dict, params)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            x_nhwc.transpose(0, 3, 1, 2))).numpy()
+
+    got = model.apply({"params": params}, jnp.asarray(x_nhwc), True)
+    got_nchw = np.asarray(got).transpose(0, 3, 1, 2)
+
+    assert got_nchw.shape == want.shape
+    np.testing.assert_allclose(got_nchw, want, atol=5e-4, rtol=1e-4)
