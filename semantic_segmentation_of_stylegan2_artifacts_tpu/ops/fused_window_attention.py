@@ -512,31 +512,28 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     return dqkv.reshape(b, hp, wp, c3), dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _attn_core(qkv, rel_bias, mask, wh, ww, heads, axis=""):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attn_core(qkv, rel_bias, mask, wh, ww, heads):
     """Window attention on spatial-rolled qkv: ``(B,Hp,Wp,3C)->(B,Hp,Wp,C)``.
 
-    ``axis``: mesh axis name when running per-shard under ``shard_map``
-    (data parallelism); the bias-table cotangent is then psum'd over it.
+    Under ``shard_map`` (data parallelism) the replicated bias table's
+    cotangent needs no explicit collective: the shard_map transpose
+    psums ``P()`` inputs' cotangents itself (DataParallel semantics,
+    reference trainer.py:96-97).
     """
     return _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
 
 
-def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads, axis=""):
+def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads):
     out = _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
     return out, (qkv, rel_bias, mask)
 
 
-def _attn_core_bwd(wh, ww, heads, axis, res, dctx):
+def _attn_core_bwd(wh, ww, heads, res, dctx):
     qkv, rel_bias, mask = res
     dqkv, dbias = _bwd_pallas(
         qkv, dctx, rel_bias, mask, wh=wh, ww=ww, heads=heads
     )
-    if axis:
-        # rel_bias is replicated across the data axis; its cotangent is
-        # the sum of every shard's contribution (DataParallel semantics,
-        # reference trainer.py:96-97)
-        dbias = jax.lax.psum(dbias, axis)
     return dqkv, dbias.astype(rel_bias.dtype), jnp.zeros_like(mask)
 
 
@@ -560,7 +557,7 @@ def _attn_core_sharded(qkv, rel_bias, mask, wh, ww, heads, data_mesh,
         return _attn_core(qkv, rel_bias, mask, wh, ww, heads)
     f = jax.shard_map(
         # custom_vjp nondiff args must ride positionally
-        lambda q, b, m: _attn_core(q, b, m, wh, ww, heads, data_axis),
+        lambda q, b, m: _attn_core(q, b, m, wh, ww, heads),
         mesh=data_mesh,
         in_specs=(P(data_axis), P(), P()),
         out_specs=P(data_axis),

@@ -143,12 +143,20 @@ def test_dp_kernel_path_matches_xla_path(tiny):
         x_step = make_train_step(x_model, 0.2, 0.8, 0.45, donate=False)
         k_new, k_loss = k_step(k_state, batch["image"], batch["label"],
                                jnp.asarray(1e-3))
-        _, x_loss = x_step(k_state, jnp.asarray(img), jnp.asarray(lbl),
-                           jnp.asarray(1e-3))
+        x_new, x_loss = x_step(k_state, jnp.asarray(img), jnp.asarray(lbl),
+                               jnp.asarray(1e-3))
         assert np.isfinite(float(k_loss))
         assert abs(float(k_loss) - float(x_loss)) < 5e-5
         leaf = jax.tree.leaves(k_new.params)[0]
         assert leaf.sharding.is_fully_replicated
+        # updated params must agree too — catches wrong cotangent
+        # collectives (shard_map's transpose already psums replicated
+        # inputs' cotangents; an explicit psum would double-count)
+        for a, b in zip(jax.tree.leaves(k_new.params),
+                        jax.tree.leaves(x_new.params)):
+            np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                       np.asarray(jax.device_get(b)),
+                                       atol=5e-5)
     finally:
         fwa.INTERPRET = False
         fh.INTERPRET = False
