@@ -253,6 +253,8 @@ def default_config() -> CfgNode:
     # parallelism — XLA SPMD inserts the halo collectives)
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2
+    c.TPU.DEVICE_PREFETCH = 2  # device-side input double buffering: batches
+    # placed (async H2D) ahead of the running step; 1 = synchronous
     c.TPU.EVAL_BATCH = 1  # >1 batches validation (exact per-case metrics)
     return c
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging as _logging
 import os
 import time
+from collections import deque
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -46,6 +47,29 @@ from .checkpoint import save_best, save_last
 from .optim import build_optimizer, carry_opt_state
 from .schedule import CosineWarmupSchedule
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+def _prefetch_to_device(batches, place: Callable, depth: int = 2):
+    """Yield device-placed batches up to ``depth`` ahead of consumption.
+
+    ``jax.device_put`` H2D copies are asynchronous, so placing batch
+    ``n+1`` before the caller blocks on step ``n`` overlaps the input
+    transfer with the running step — device-side double buffering (the
+    reference's ``DataLoader(pin_memory=True)`` overlap intent,
+    reference ``trainer.py:239-245``).  ``depth <= 1`` degenerates to
+    the synchronous per-step placement.
+    """
+    if depth <= 1:
+        for b in batches:
+            yield place(b)
+        return
+    buf = deque()
+    for b in batches:
+        buf.append(place(b))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 def validate(
@@ -305,6 +329,26 @@ def trainer(
     if mesh is not None:
         from ..parallel import shard_batch as _shard_batch
 
+        def place_batch(batch):
+            placed = _shard_batch(
+                {"image": batch["image"], "label": batch["label"]}, mesh
+            )
+            return placed["image"], placed["label"]
+    else:
+        def place_batch(batch):
+            return (jax.device_put(batch["image"]),
+                    jax.device_put(batch["label"]))
+
+    device_prefetch = int(getattr(config.TPU, "DEVICE_PREFETCH", 2))
+
+    def drain_loss(pending_losses) -> None:
+        nonlocal iter_num
+        loss_f = float(pending_losses.popleft())
+        train_loss_list.append(loss_f)
+        iter_num += 1
+        if writer is not None:
+            writer.add_scalar("info/total_loss", loss_f, iter_num)
+
     for epoch_num in range(start_epoch, max_epoch):
         state, _ = maybe_unfreeze(state, epoch_num, unfreeze_in_next_epoch)
         unfreeze_in_next_epoch = False
@@ -313,22 +357,19 @@ def trainer(
         lr_arr = jnp.asarray(lr, jnp.float32)
         t0 = time.time()
         n_batches = 0
-        for batch in train_loader.epoch_batches_merged(epoch_num, n_dp):
-            if mesh is not None:
-                placed = _shard_batch(
-                    {"image": batch["image"], "label": batch["label"]}, mesh
-                )
-                image_dev, label_dev = placed["image"], placed["label"]
-            else:
-                image_dev = jnp.asarray(batch["image"])
-                label_dev = jnp.asarray(batch["label"])
+        # the loss fetch is deferred one step so the host never blocks on
+        # step n before step n+1 (and its prefetched inputs) are dispatched
+        pending: deque = deque()
+        for image_dev, label_dev in _prefetch_to_device(
+                train_loader.epoch_batches_merged(epoch_num, n_dp),
+                place_batch, depth=device_prefetch):
             state, loss = train_step(state, image_dev, label_dev, lr_arr)
-            loss_f = float(loss)
-            train_loss_list.append(loss_f)
-            iter_num += 1
+            pending.append(loss)
             n_batches += 1
-            if writer is not None:
-                writer.add_scalar("info/total_loss", loss_f, iter_num)
+            if len(pending) > 1:
+                drain_loss(pending)
+        while pending:
+            drain_loss(pending)
         epoch_time = time.time() - t0
         mean_train_loss = (sum(train_loss_list) / len(train_loss_list)
                            if train_loss_list else float("nan"))
