@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from semantic_segmentation_of_stylegan2_artifacts_tpu.utils.platform import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 # Estimated PyTorch-reference throughput (images/sec) at 512x512 fwd+bwd,
 # fp16 AMP, single A100-class GPU, for this 52-block Swin-B MS-UNet.
 # The reference repo publishes no measurements (BASELINE.md); this anchor
