@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import fused_head, fused_window_attention, patch_ops
+from ..ops import fused_head, fused_refine_head, fused_window_attention, \
+    patch_ops
 from ..ops.window_attention import (
     real_token_mask,
     relayout_windows,
@@ -399,11 +400,53 @@ class PatchExpand(nn.Module):
         return x
 
 
+class ConvParams(nn.Module):
+    """Parameter holder with ``nn.Conv``'s ``kernel``/``bias`` layout for
+    a 3x3 conv whose compute is owned by a fused op."""
+
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", conv_torch_init,
+            (3, 3, self.features_in, self.features_out), jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+        )
+
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        return self.kernel, self.bias
+
+
+class NormParams(nn.Module):
+    """Parameter holder with ``nn.LayerNorm``'s ``scale``/``bias`` layout
+    for a norm whose compute is owned by a fused op."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        return self.scale, self.bias
+
+
 class FinalPatchExpandX4V2(nn.Module):
     """Linear(C,16C) -> GELU -> ×4 depth-to-space -> two 3×3 convs -> LN.
 
     The checkerboard-smoothing final upsampler
-    (reference ``model_parts.py:437-476``).
+    (reference ``model_parts.py:437-476``).  With ``fused_head`` on and a
+    supported shape the whole tail after the expand projection runs as
+    ONE Pallas kernel per direction (``ops/fused_refine_head.py``) — the
+    r3 op-level breakdown measured the composed XLA tail at ~21% of the
+    512² train step, ~2.5x over its bandwidth floor.  Unsupported shapes
+    fall back first to the GELU+depth-to-space-only kernel, then to the
+    composed XLA ops; parameter names/shapes are identical on all paths.
     """
 
     dim: int
@@ -422,6 +465,17 @@ class FinalPatchExpandX4V2(nn.Module):
             dtype=self.dtype,
             name="expand",
         )(x)
+        if self.fused_head and fused_refine_head.supported(
+                x.shape, self.gelu_tanh):
+            w1, b1 = ConvParams(self.dim, self.dim, name="refine1")()
+            w2, b2 = ConvParams(self.dim, self.dim, name="refine2")()
+            g, be = NormParams(self.dim, name="norm")()
+            if self.data_mesh is not None:
+                return fused_refine_head.fused_refine_head_sharded(
+                    x, w1, b1, w2, b2, g, be,
+                    self.data_mesh, self.data_axis)
+            return fused_refine_head.fused_refine_head(
+                x, w1, b1, w2, b2, g, be)
         if self.fused_head and fused_head.supported(x.shape, self.gelu_tanh):
             if self.data_mesh is not None:
                 x = fused_head.fused_gelu_d2s4_sharded(
