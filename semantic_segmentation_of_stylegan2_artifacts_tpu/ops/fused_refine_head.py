@@ -20,15 +20,18 @@ full-res intermediate in VMEM:
 * SAME-padding semantics are preserved by zeroing the conv1 halo
   rows/cols that fall outside the real image before conv2 consumes them;
 * backward is saved-residual, NOT flash-style: the forward emits the
-  conv1 pre-activation ``pre``, the LN-normalised ``xhat`` and the LN
-  ``inv`` = rsqrt(var+eps) as extra outputs, so the backward runs ZERO
-  conv recomputes (an earlier flash-style revision recomputed conv1 and
-  conv2 in the backward tile and measured 53-55 ms vs XLA's 48 — the
-  convs are MXU-bound, so +46% FLOPs of recompute is exactly the wrong
-  trade at this op's arithmetic intensity).  The backward rebuilds only
-  the elementwise pieces (``h1 = gelu(pre)``, ``gelu'(pre)``, the
-  depth-to-space gather of ``y``) and spends its MXU time on the same
-  four transposed-conv / weight-gradient contractions XLA would run.
+  conv1 pre-activation ``pre`` and the conv2 pre-LN output ``a2`` as
+  extra outputs, so the backward runs ZERO conv recomputes (an earlier
+  flash-style revision recomputed conv1 and conv2 in the backward tile
+  and measured 53-55 ms vs XLA's 48 — the convs are MXU-bound, so +46%
+  FLOPs of recompute is exactly the wrong trade at this op's arithmetic
+  intensity).  The backward rebuilds only the elementwise pieces
+  (``h1 = gelu(pre)``, ``gelu'(pre)``, the LN statistics from ``a2`` —
+  per-pixel scalars stay as ``(rows, 1)`` reduction outputs because
+  Mosaic cannot relayout a lane-major matrix into a column vector —
+  and the depth-to-space gather of ``y``) and spends its MXU time on
+  the same four transposed-conv / weight-gradient contractions XLA
+  would run.
   Weight/scale gradients accumulate across the whole grid into revisited
   output blocks (TPU grid execution is sequential), and are psum'd over
   the data axis when running per-shard under ``shard_map``.
@@ -143,10 +146,10 @@ def _fill_xp(xp_ref, yp_ref, y_ref, yn_ref, *, tr, wt, c, n_tiles, halo):
 
 
 def _fwd_body(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-              g_ref, be_ref, o_ref, pre_o_ref, xh_o_ref, inv_o_ref,
+              g_ref, be_ref, o_ref, pre_o_ref, a2_o_ref,
               xp_ref, h1_ref, *, tr: int, wt: int, c: int, n_tiles: int):
-    """Forward tile.  ``pre_o_ref``/``xh_o_ref``/``inv_o_ref`` are None
-    on the primal-only (inference) variant."""
+    """Forward tile.  ``pre_o_ref``/``a2_o_ref`` are None on the
+    primal-only (inference) variant."""
     t = pl.program_id(1)
     w = 4 * wt
     wp1 = _rup8(w + 2)  # conv1 output cols, padded to whole sublane tiles
@@ -179,14 +182,14 @@ def _fwd_body(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         pre_o_ref[0] = pre.reshape(r1, wp1, c)[1:1 + 4 * tr, 1:1 + w, :]
 
     acc2 = _conv9(h1_ref, w2_ref, 4 * tr, w, c, r0=1, c0=1)
-    a2 = (acc2.astype(o_ref.dtype) + b2_ref[0]).astype(jnp.float32)
+    a2s = acc2.astype(o_ref.dtype) + b2_ref[0]  # storage-dtype, saved
+    if a2_o_ref is not None:
+        a2_o_ref[0] = a2s.reshape(4 * tr, w, c)
+    a2 = a2s.astype(jnp.float32)
     mu = jnp.mean(a2, axis=-1, keepdims=True)
     va = jnp.mean(a2 * a2, axis=-1, keepdims=True) - mu * mu
     inv = jax.lax.rsqrt(va + LN_EPS)
     xhat = (a2 - mu) * inv
-    if xh_o_ref is not None:
-        xh_o_ref[0] = xhat.reshape(4 * tr, w, c).astype(xh_o_ref.dtype)
-        inv_o_ref[0] = inv.reshape(4 * tr, w)
     outn = (xhat * g_ref[0].astype(jnp.float32)
             + be_ref[0].astype(jnp.float32))
     o_ref[0] = outn.reshape(4 * tr, w, c).astype(o_ref.dtype)
@@ -195,22 +198,21 @@ def _fwd_body(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _fwd_kernel(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 g_ref, be_ref, o_ref, xp_ref, h1_ref, **kw):
     _fwd_body(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-              g_ref, be_ref, o_ref, None, None, None, xp_ref, h1_ref, **kw)
+              g_ref, be_ref, o_ref, None, None, xp_ref, h1_ref, **kw)
 
 
 def _fwd_res_kernel(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    g_ref, be_ref, o_ref, pre_o_ref, xh_o_ref, inv_o_ref,
+                    g_ref, be_ref, o_ref, pre_o_ref, a2_o_ref,
                     xp_ref, h1_ref, **kw):
     _fwd_body(yp_ref, y_ref, yn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-              g_ref, be_ref, o_ref, pre_o_ref, xh_o_ref, inv_o_ref,
+              g_ref, be_ref, o_ref, pre_o_ref, a2_o_ref,
               xp_ref, h1_ref, **kw)
 
 
 def _bwd_kernel(yp_ref, y_ref, yn_ref,
                 prp_ref, pr_ref, prn_ref,
                 dop_ref, do_ref, don_ref,
-                xhp_ref, xh_ref, xhn_ref,
-                ivp_ref, iv_ref, ivn_ref,
+                a2p_ref, a2_ref, a2n_ref,
                 w1_ref, w2_ref, g_ref,
                 dy_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbe_ref,
                 xp_ref, h1_ref, da2_ref, da1_ref, dxp_ref,
@@ -251,26 +253,28 @@ def _bwd_kernel(yp_ref, y_ref, yn_ref,
             prn_ref[0, 0].astype(jnp.float32)).astype(h1_ref.dtype)
 
     # ---- LayerNorm backward on rows [-2, 4tr+2) (mean/var form) ----
-    # halo strips are masked to zero at the image boundary (those rows
-    # don't exist); a zero dout/xhat/inv row yields a zero da2 row
+    # statistics are recomputed from the saved conv2 output ``a2``
+    # (lane-major like everything else: mu/inv stay (rows, 1) reduction
+    # outputs — Mosaic cannot relayout a lane-major matrix into a
+    # column vector, so a saved per-pixel ``inv`` tensor is unusable).
+    # Halo strips are masked to zero at the image boundary (those rows
+    # don't exist); zero dout rows yield zero da2 rows.
     r2 = 4 * tr + 4
     zc = jnp.zeros((2, w, c), jnp.float32)
-    zi = jnp.zeros((2, w), jnp.float32)
     dout = jnp.concatenate([
         jnp.where(t > 0, dop_ref[0].astype(jnp.float32), zc),
         do_ref[0].astype(jnp.float32),
         jnp.where(t < n_tiles - 1, don_ref[0].astype(jnp.float32), zc),
     ], axis=0).reshape(r2 * w, c)
-    xhat = jnp.concatenate([
-        jnp.where(t > 0, xhp_ref[0].astype(jnp.float32), zc),
-        xh_ref[0].astype(jnp.float32),
-        jnp.where(t < n_tiles - 1, xhn_ref[0].astype(jnp.float32), zc),
+    a2 = jnp.concatenate([
+        jnp.where(t > 0, a2p_ref[0].astype(jnp.float32), zc),
+        a2_ref[0].astype(jnp.float32),
+        jnp.where(t < n_tiles - 1, a2n_ref[0].astype(jnp.float32), zc),
     ], axis=0).reshape(r2 * w, c)
-    inv = jnp.concatenate([
-        jnp.where(t > 0, ivp_ref[0, 6:8], zi),   # last 2 rows of the block
-        iv_ref[0],
-        jnp.where(t < n_tiles - 1, ivn_ref[0, 0:2], zi),  # first 2 rows
-    ], axis=0).reshape(r2 * w, 1)
+    mu = jnp.mean(a2, axis=-1, keepdims=True)
+    va = jnp.mean(a2 * a2, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(va + LN_EPS)
+    xhat = (a2 - mu) * inv
 
     gam = g_ref[0].astype(jnp.float32)
     dxh = dout * gam
@@ -457,13 +461,9 @@ def _fwd_pallas(y, w1, b1, w2, b2, gamma, beta, save_residuals: bool):
         out_shape = (
             jax.ShapeDtypeStruct((b, 4 * ht, w, c), y.dtype),   # out
             jax.ShapeDtypeStruct((b, 4 * ht, w, c), y.dtype),   # pre
-            jax.ShapeDtypeStruct((b, 4 * ht, w, c), y.dtype),   # xhat
-            jax.ShapeDtypeStruct((b, 4 * ht, w), jnp.float32),  # inv
+            jax.ShapeDtypeStruct((b, 4 * ht, w, c), y.dtype),   # a2
         )
-        inv_spec = pl.BlockSpec((1, 4 * tr, w),
-                                lambda b_, t: (b_, t, 0),
-                                memory_space=pltpu.VMEM)
-        out_specs = (o_spec, o_spec, o_spec, inv_spec)
+        out_specs = (o_spec, o_spec, o_spec)
     else:
         kernel = _fwd_kernel
         out_shape = jax.ShapeDtypeStruct((b, 4 * ht, w, c), y.dtype)
@@ -487,7 +487,7 @@ def _fwd_pallas(y, w1, b1, w2, b2, gamma, beta, save_residuals: bool):
     )(y, y, y, w1r, b1r, w2r, b2r, gr, ber)
 
 
-def _bwd_pallas(y, pre, xhat, inv, dout, w1, w2, gamma):
+def _bwd_pallas(y, pre, a2, dout, w1, w2, gamma):
     b, ht, wt, c16 = y.shape
     c = c16 // 16
     tr = _pick_tr(ht, 4 * wt, c)
@@ -497,23 +497,7 @@ def _bwd_pallas(y, pre, xhat, inv, dout, w1, w2, gamma):
     _, y_specs, _, _, _, _ = _specs(b, ht, wt, c16, c, tr, y.dtype)
     pre_specs = _row_specs(4 * ht, w, c, tr, halo=1)
     do_specs = _row_specs(4 * ht, w, c, tr, halo=2)
-    xh_specs = _row_specs(4 * ht, w, c, tr, halo=2)
-    # (B, 4Ht, W) f32: a 2-row halo block would break the TPU tile rule
-    # (second-to-last block dim must divide 8), so the halo strips fetch
-    # a whole 8-row block (4tr*t is a multiple of 8 for tr>=2) and the
-    # kernel slices the 2 rows it needs
-    assert (4 * tr) % 8 == 0, tr
-    iv_specs = [
-        pl.BlockSpec((1, 8, w),
-                     lambda b_, t: (b_, jnp.maximum(tr * t // 2 - 1, 0), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 4 * tr, w), lambda b_, t: (b_, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, w),
-                     lambda b_, t: (b_, jnp.minimum(tr * (t + 1) // 2,
-                                                    ht // 2 - 1), 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    a2_specs = _row_specs(4 * ht, w, c, tr, halo=2)
     w_specs = [
         pl.BlockSpec((9, c, c), lambda b_, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -547,8 +531,7 @@ def _bwd_pallas(y, pre, xhat, inv, dout, w1, w2, gamma):
         functools.partial(_bwd_kernel, tr=tr, wt=wt, c=c, n_tiles=n_tiles),
         out_shape=out_shapes,
         grid=grid,
-        in_specs=(y_specs + pre_specs + do_specs + xh_specs + iv_specs
-                  + w_specs),
+        in_specs=y_specs + pre_specs + do_specs + a2_specs + w_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((4 * tr + 2, _rup8(w + 2) + 2, c), y.dtype),  # xp
@@ -561,8 +544,8 @@ def _bwd_pallas(y, pre, xhat, inv, dout, w1, w2, gamma):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(y, y, y, pre, pre, pre, dout, dout, dout, xhat, xhat, xhat,
-      inv, inv, inv, w1r, w2r, gr)
+    )(y, y, y, pre, pre, pre, dout, dout, dout, a2, a2, a2,
+      w1r, w2r, gr)
     return outs
 
 
@@ -584,15 +567,15 @@ def fused_refine_head(y, w1, b1, w2, b2, gamma, beta):
 
 
 def _frh_fwd(y, w1, b1, w2, b2, gamma, beta):
-    out, pre, xhat, inv = _fwd_pallas(y, w1, b1, w2, b2, gamma, beta,
-                                      save_residuals=True)
-    return out, (y, pre, xhat, inv, w1, w2, gamma)
+    out, pre, a2 = _fwd_pallas(y, w1, b1, w2, b2, gamma, beta,
+                               save_residuals=True)
+    return out, (y, pre, a2, w1, w2, gamma)
 
 
 def _frh_bwd(res, dout):
-    y, pre, xhat, inv, w1, w2, gamma = res
+    y, pre, a2, w1, w2, gamma = res
     dy, dw1, db1, dw2, db2, dg, dbe = _bwd_pallas(
-        y, pre, xhat, inv, dout, w1, w2, gamma)
+        y, pre, a2, dout, w1, w2, gamma)
     c = w1.shape[-1]
     return (dy,
             dw1.reshape(3, 3, c, c).astype(w1.dtype),
