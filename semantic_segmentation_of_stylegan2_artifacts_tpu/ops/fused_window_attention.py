@@ -72,15 +72,17 @@ _S_CAP = 512
 # run ~2% faster than chunked programs (fewer programs, no pad windows).
 _MAX_BODY_WINDOWS = 20
 
-# small grids can run WHOLE-IMAGE programs (grid = batch only).  At
-# 32²/16² token grids the per-program fixed costs dominate (stage 2's 18
-# blocks were the largest 512² step item at 40 programs each), but the
-# unrolled image bodies (25 windows × 16 heads; 9 × 32 at stage 3) OOM
-# the remote Mosaic compiler (SIGKILL, r2) — in-body head loops can't be
-# rolled because dynamic lane slices must be 128-aligned (probed).  The
-# mode stays implemented and interpreter-tested but DISABLED until a
-# head-grouped channel layout bounds the body size.
-_IMG_CAP = 0
+# Program-count dead ends (measured; do NOT re-add without new evidence):
+# * WHOLE-IMAGE programs (grid = batch) for the 32²/16² grids: unrolled
+#   image bodies (25 windows × 16 heads; 9 × 32 at stage 3) SIGKILL the
+#   remote Mosaic compiler, and in-body head loops can't be rolled
+#   because dynamic lane slices must be 128-aligned (probed, r2).
+# * r3 rewrite with 16-aligned window slot stride (nh=64) + batch
+#   packing (several images block-diagonal per program, visit-capped):
+#   won at op level but LOST in-step — 512² b8 full train step 26.77
+#   img/s vs 27.79 for this strip kernel, reproduced (r3 A/B,
+#   /tmp/bench_r3{a,b,_oldattn}.log); the padded qkv slot layout leaks
+#   relayout cost into the surrounding graph.
 
 
 def _chunk_windows(n_tok: int) -> int:
@@ -100,7 +102,7 @@ def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
 def _tile_to_wm(tile, wm_ref, wh: int, ww: int, c3: int):
     """Spatial tile ``(R*wh, Wc, 3C)`` -> window-major rows of ``wm_ref``.
 
-    Handles both one window-row strip (R=1) and whole-image tiles;
+    Handles one window-row strip (R=1) or a width chunk of one;
     window index order is row-major (wr * nww + wc).
     """
     n = wh * ww
@@ -335,11 +337,6 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
     return g, -(-nww // g)  # wrapper pads nww up to k*g
 
 
-def _image_mode(nwh: int, nww: int, n: int) -> bool:
-    """One program per image: small grids where program count dominates."""
-    return nwh * nww * n <= _IMG_CAP
-
-
 def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     """Grid + input specs.
 
@@ -351,18 +348,6 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     nwh, nww = hp // wh, wp // ww
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
-    if k == 1 and _image_mode(nwh, nww, n):
-        # whole image per program
-        grid = (b, 1)
-        in_specs = [
-            pl.BlockSpec((1, hp, wp, c3), lambda b_, i: (b_, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nwh, nww, n, n), lambda b_, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        return grid, in_specs, nwh * nww, k
     if k == 1:
         grid = (b, nwh)
         in_specs = [

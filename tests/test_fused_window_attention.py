@@ -48,7 +48,7 @@ CASES = [
     (10, 12, 24, 3, (5, 5), (2, 2)),   # asymmetric + window 5
     (7, 7, 16, 2, (7, 7), (3, 3)),     # single window: shift dropped
     (7, 77, 16, 2, (7, 7), (3, 0)),    # 11-window image (two groups [10,1])
-    (28, 98, 16, 2, (7, 7), (3, 3)),   # strip mode (2744 tokens > _IMG_CAP)
+    (28, 98, 16, 2, (7, 7), (3, 3)),   # multi-strip grid
     (14, 147, 16, 2, (7, 7), (0, 3)),  # chunked mode (21 windows/strip)
 ]
 
@@ -89,21 +89,6 @@ def test_vjp_matches_xla_path(h, w, c, heads, window, shift):
         np.testing.assert_allclose(
             np.asarray(g_fus[key]), np.asarray(g_ref[key]),
             atol=3e-5, rtol=3e-5, err_msg=key)
-
-
-def test_image_mode_path(monkeypatch):
-    """Whole-image programs (disabled by default; see _IMG_CAP note)."""
-    monkeypatch.setattr(fwa, "_IMG_CAP", 4096)
-    inp = _make_inputs(jax.random.PRNGKey(2), 2, 16, 16, 16, 2, (7, 7))
-    kw = dict(window_size=(7, 7), shift_size=(3, 3), num_heads=2)
-    want = shifted_window_attention(
-        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
-        inp["proj_bias"], inp["bias_table"], **kw)
-    got = fwa.fused_shifted_window_attention(
-        inp["x"], inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
-        inp["proj_bias"], inp["bias_table"], **kw)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
 
 
 def test_model_flag_routes_to_fused_kernel(monkeypatch):
