@@ -7,9 +7,13 @@ HBM with severe tile padding — ``(…,49,49)`` scores pad ×3.4 on the
 (measured v5e, 512²: ~8 ms fwd+bwd per stage-0 block of a 3-ms-fwd
 step).  This kernel keeps all window-shaped intermediates in VMEM:
 
-* grid = (batch, window-row strip[, width-chunk]); the strip of
+* grid = (batch[/pack], window-row strip[, width-chunk]); the strip of
   spatial-rolled qkv is window-partitioned **in VMEM** (static sublane
   slices, no HBM relayout);
+* at small token grids (32²/16²) several images' strips are packed
+  into one program as extra windows (``_pick_bp``) — per-program fixed
+  costs dominated those stages (stage 2's 18 blocks, 40 programs each,
+  were the largest 512² step item);
 * per head, windows are packed along the sublane axis and scored with
   ONE MXU matmul per ≤10-window group — the block-diagonal waste costs
   only MXU FLOPs (attention matmuls are <1% of model FLOPs), never HBM;
@@ -85,9 +89,61 @@ _MAX_BODY_WINDOWS = 20
 #   relayout cost into the surrounding graph.
 
 
+# compile-size bound for batch packing: heads × windows visited per
+# program body (the r2 whole-image SIGKILLs were 400 visits; the widest
+# shipped strip bodies ~96 compile fine).
+_VISIT_CAP = 200
+
+
 def _chunk_windows(n_tok: int) -> int:
     """Windows per width-chunk when a strip must be split."""
     return max(1, _S_CAP // n_tok)
+
+
+def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int) -> int:
+    """Static forward-scratch estimate for a packed program (bf16).
+
+    Only the forward packs (see ``_fwd_pallas``/``_bwd_pallas`` notes),
+    so this models the forward scratch list.
+    """
+    c = c3 // 3
+    s_all = bp * nww * n
+    s_cap = min(nww, _chunk_windows(n)) * n
+    dt = 2  # deployment dtype; the kernel only runs on TPU where bf16 is it
+    return (s_all * c3 * dt             # wm
+            + s_all * c * dt            # ow
+            + s_cap * s_cap * (4 + dt)  # s + z
+            + 2 * s_cap * n * 4)        # p, mask rows
+
+
+# packing budget for the estimate above: measured peaks run ~2.7× the
+# static scratch vs the 16 MB scoped-vmem stack limit (see _pick_bp)
+_PACK_SCRATCH_CAP = 5 * 2 ** 20
+
+
+def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int) -> int:
+    """Images packed per program (small grids only).
+
+    At the 32²/16² token grids per-program fixed costs dominate the
+    step (stage 2's 18 blocks were the largest 512² item, 40 programs
+    each); packing images as extra windows into the SAME 49-stride
+    layout halves the program count — without the slot-padding
+    relayouts that sank the r3 aligned rewrite (26.77 vs 27.79 img/s).
+    Score groups stay per-image so the (s,s) score/probs scratch keeps
+    its proven unpacked size; packing grows only the window-major
+    qkv/dqkv scratch, bounded by ``_pack_scratch_bytes`` (measured
+    backward peaks run ~2.7× the static scratch estimate: 7.1 MB
+    static compiled to an 18.9 MB stack at the 32² grid when packing
+    widened the score group).  Also bounded by the head×window-visit
+    compile cap.
+    """
+    bp = 1
+    while (bp * 2 <= b and b % (bp * 2) == 0
+           and bp * 2 * nww <= _MAX_BODY_WINDOWS
+           and heads * bp * 2 * nww <= _VISIT_CAP
+           and _pack_scratch_bytes(bp * 2, nww, n, c3) <= _PACK_SCRATCH_CAP):
+        bp *= 2
+    return bp
 
 
 def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
@@ -99,18 +155,19 @@ def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
     return tuple(sizes)
 
 
-def _tile_to_wm(tile, wm_ref, wh: int, ww: int, c3: int):
+def _tile_to_wm(tile, wm_ref, wh: int, ww: int, c3: int, base: int = 0):
     """Spatial tile ``(R*wh, Wc, 3C)`` -> window-major rows of ``wm_ref``.
 
-    Handles one window-row strip (R=1) or a width chunk of one;
-    window index order is row-major (wr * nww + wc).
+    Handles one window-row strip (R=1) or a width chunk of one; window
+    index order is row-major (wr * nww + wc).  ``base``: first wm row
+    (batch-packed programs stack images' windows).
     """
     n = wh * ww
     nwh, nww = tile.shape[0] // wh, tile.shape[1] // ww
     for wr in range(nwh):
         for wc_ in range(nww):
             w = wr * nww + wc_
-            wm_ref[w * n:(w + 1) * n, :] = (
+            wm_ref[base + w * n:base + (w + 1) * n, :] = (
                 tile[wr * wh:(wr + 1) * wh,
                      wc_ * ww:(wc_ + 1) * ww, :].reshape(n, c3)
             )
@@ -139,12 +196,17 @@ def _fwd_kernel(
     heads: int,
     chunked: bool,
 ):
-    tile = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
-    hb, wc, c3 = tile.shape
+    if chunked:
+        tiles = [qkv_ref[0, :, 0]]
+    else:
+        tiles = [qkv_ref[i] for i in range(qkv_ref.shape[0])]
+    bp = len(tiles)
+    hb, wc, c3 = tiles[0].shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nwc = (hb // wh) * (wc // ww)  # windows in this program
+    nwi = (hb // wh) * (wc // ww)  # windows per image strip
+    nwc = bp * nwi                 # windows in this program
     scale = hd ** -0.5
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     if chunked:
@@ -159,10 +221,13 @@ def _fwd_kernel(
     def _():
         z_ref[...] = jnp.zeros_like(z_ref)
 
-    _tile_to_wm(tile, wm_ref, wh, ww, c3)
+    for i, t in enumerate(tiles):
+        _tile_to_wm(t, wm_ref, wh, ww, c3, base=i * nwi * n)
 
     w0 = 0
-    for g in _group_sizes(nwc, n):
+    # per-image groups: packed programs reuse the proven unpacked
+    # score/probs scratch footprint (scoped-vmem stack limit)
+    for g in _group_sizes(nwi, n) * bp:
         s = g * n
         for h in range(heads):
             q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
@@ -180,8 +245,12 @@ def _fwd_kernel(
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
             mall = (mask_ref[0, 0] if chunked
-                    else mask_ref[...].reshape(nwc, n, n))
-            blk += mall[w0:w0 + g].reshape(s, n)
+                    else mask_ref[...].reshape(nwi, n, n))
+            if bp == 1:
+                blk += mall[w0:w0 + g].reshape(s, n)
+            else:  # packed windows wrap around per-image strip masks
+                blk += jnp.concatenate(
+                    [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
             probs = _softmax_rows(blk).astype(z_ref.dtype)
             for w in range(g):
                 z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
@@ -198,12 +267,14 @@ def _fwd_kernel(
 
     nww_blk = wc // ww
     for w in range(nwc):
-        wr, wc_ = divmod(w, nww_blk)
+        img, wloc = divmod(w, nwi)
+        wr, wc_ = divmod(wloc, nww_blk)
         owc = ow_ref[w * n:(w + 1) * n, :c].reshape(wh, ww, c)
         if chunked:
             o_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = owc
         else:
-            o_ref[0, wr * wh:(wr + 1) * wh, wc_ * ww:(wc_ + 1) * ww, :] = owc
+            o_ref[img, wr * wh:(wr + 1) * wh,
+                  wc_ * ww:(wc_ + 1) * ww, :] = owc
 
 
 def _bwd_kernel(
@@ -227,12 +298,19 @@ def _bwd_kernel(
     heads: int,
     chunked: bool,
 ):
-    tile = qkv_ref[0, :, 0] if chunked else qkv_ref[0]
-    hb, wc, c3 = tile.shape
+    if chunked:
+        tiles = [qkv_ref[0, :, 0]]
+        dtiles = [dctx_ref[0, :, 0]]
+    else:
+        tiles = [qkv_ref[i] for i in range(qkv_ref.shape[0])]
+        dtiles = [dctx_ref[i] for i in range(dctx_ref.shape[0])]
+    bp = len(tiles)
+    hb, wc, c3 = tiles[0].shape
     c = c3 // 3
     hd = c // heads
     n = wh * ww
-    nwc = (hb // wh) * (wc // ww)
+    nwi = (hb // wh) * (wc // ww)
+    nwc = bp * nwi
     nww_blk = wc // ww
     scale = hd ** -0.5
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -245,12 +323,15 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    _tile_to_wm(tile, wm_ref, wh, ww, c3)
-    dtile = dctx_ref[0, :, 0] if chunked else dctx_ref[0]
-    _tile_to_wm(dtile, dcw_ref, wh, ww, c)
+    for i, t in enumerate(tiles):
+        _tile_to_wm(t, wm_ref, wh, ww, c3, base=i * nwi * n)
+    for i, t in enumerate(dtiles):
+        _tile_to_wm(t, dcw_ref, wh, ww, c, base=i * nwi * n)
 
     w0 = 0
-    for g in _group_sizes(nwc, n):
+    # per-image groups: packed programs reuse the proven unpacked
+    # score/probs scratch footprint (scoped-vmem stack limit)
+    for g in _group_sizes(nwi, n) * bp:
         s = g * n
         for h in range(heads):
             q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
@@ -270,8 +351,12 @@ def _bwd_kernel(
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
             mall = (mask_ref[0, 0] if chunked
-                    else mask_ref[...].reshape(nwc, n, n))
-            blk += mall[w0:w0 + g].reshape(s, n)
+                    else mask_ref[...].reshape(nwi, n, n))
+            if bp == 1:
+                blk += mall[w0:w0 + g].reshape(s, n)
+            else:
+                blk += jnp.concatenate(
+                    [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
             probs = _softmax_rows(blk)
             pz = probs.astype(z_ref.dtype)
             for w in range(g):
@@ -313,19 +398,24 @@ def _bwd_kernel(
                 z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = dq
-            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = dk
-            dwm_ref[w0 * n:w0 * n + s, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv
+            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
+                dq.astype(dwm_ref.dtype))
+            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = (
+                dk.astype(dwm_ref.dtype))
+            dwm_ref[w0 * n:w0 * n + s,
+                    2 * c + h * hd:2 * c + (h + 1) * hd] = (
+                dv.astype(dwm_ref.dtype))
         w0 += g
 
     for w in range(nwc):
-        wr, wc_ = divmod(w, nww_blk)
+        img, wloc = divmod(w, nwi)
+        wr, wc_ = divmod(wloc, nww_blk)
         dq_wc = (dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
                  ).astype(dqkv_ref.dtype)
         if chunked:
             dqkv_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
         else:
-            dqkv_ref[0, wr * wh:(wr + 1) * wh,
+            dqkv_ref[img, wr * wh:(wr + 1) * wh,
                      wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
 
 
@@ -337,7 +427,7 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
     return g, -(-nww // g)  # wrapper pads nww up to k*g
 
 
-def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
+def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True):
     """Grid + input specs.
 
     ``k == 1`` (strip fits one program): plain 4D layout, 2D grid — the
@@ -349,16 +439,17 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
     if k == 1:
-        grid = (b, nwh)
+        bp = _pick_bp(b, heads, nww, n, c3) if pack else 1
+        grid = (b // bp, nwh)
         in_specs = [
-            pl.BlockSpec((1, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
+            pl.BlockSpec((bp, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        return grid, in_specs, g, k
+        return grid, in_specs, bp * g, k, bp
     grid = (b, nwh, k)
     in_specs = [
         pl.BlockSpec((1, wh, 1, g * ww, c3),
@@ -369,12 +460,13 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww):
         pl.BlockSpec((1, 1, g, n, n), lambda b_, i, k_: (i, k_, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    return grid, in_specs, g, k
+    return grid, in_specs, g, k, 1
 
 
-def _scratch(g: int, n: int, c3: int, c: int, dtype, bwd: bool):
-    s_all = g * n
-    s_cap = min(g, _chunk_windows(n)) * n
+def _scratch(g_total: int, g_img: int, n: int, c3: int, c: int, dtype,
+             bwd: bool):
+    s_all = g_total * n
+    s_cap = min(g_img, _chunk_windows(n)) * n
     if not bwd:
         return [
             pltpu.VMEM((s_all, c3), dtype),
@@ -385,8 +477,8 @@ def _scratch(g: int, n: int, c3: int, c: int, dtype, bwd: bool):
         ]
     return [
         pltpu.VMEM((s_all, c3), dtype),
-        pltpu.VMEM((s_all, c3), jnp.float32),
-        pltpu.VMEM((s_all, c), dtype),
+        pltpu.VMEM((s_all, c3), dtype),  # dwm: rounding moves one step
+        pltpu.VMEM((s_all, c), dtype),   # earlier; output is bf16 anyway
         pltpu.VMEM((s_cap, s_cap), jnp.float32),
         pltpu.VMEM((s_cap, n), jnp.float32),
         pltpu.VMEM((s_cap, n), jnp.float32),
@@ -399,7 +491,8 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    grid, in_specs, g, k, bp = _grid_and_specs(
+        b, hp, wp, c3, c, heads, n, wh, ww)
     chunked = k > 1
     if chunked:
         qkv_in = qkv.reshape(b, hp, k, g * ww, c3)
@@ -410,16 +503,10 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
                                 memory_space=pltpu.VMEM)
     else:
         qkv_in, mask_in = qkv, mask
-        blk_h = in_specs[0].block_shape[1]
         out_shape = jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype)
-        if blk_h == hp:  # image mode
-            out_spec = pl.BlockSpec((1, hp, wp, c),
-                                    lambda b_, i: (b_, 0, 0, 0),
-                                    memory_space=pltpu.VMEM)
-        else:
-            out_spec = pl.BlockSpec((1, wh, wp, c),
-                                    lambda b_, i: (b_, i, 0, 0),
-                                    memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((bp, wh, wp, c),
+                                lambda b_, i: (b_, i, 0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
                           chunked=chunked),
@@ -427,7 +514,8 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=False),
+        scratch_shapes=_scratch(g, g // bp, n, c3, c, qkv.dtype,
+                                bwd=False),
         interpret=INTERPRET,
     )(qkv_in, rel_bias, mask_in)
     return out.reshape(b, hp, wp, c)
@@ -437,7 +525,15 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    grid, in_specs, g, k = _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww)
+    # backward stays UNPACKED: its per-program footprint (saved-qkv
+    # relayout + f32 dS/dP scratch + in/out blocks) already runs
+    # ~9-10 MB against the 16 MB scoped-vmem stack; every packed-bwd
+    # variant measured 17.6-18.9 MB and failed to compile.  Forward
+    # packing alone still halves the small-grid program count where the
+    # fixed costs were measured (fwd grid differs from bwd grid — the
+    # custom_vjp recomputes from saved qkv, so no residual mismatch).
+    grid, in_specs, g, k, bp = _grid_and_specs(
+        b, hp, wp, c3, c, heads, n, wh, ww, pack=False)
     chunked = k > 1
     in_specs = list(in_specs)
     if chunked:
@@ -460,27 +556,17 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
         )
     else:
         qkv_in, dctx_in, mask_in = qkv, dctx, mask
-        blk_h = in_specs[0].block_shape[1]
-        if blk_h == hp:  # image mode
-            in_specs.insert(1, pl.BlockSpec((1, hp, wp, c),
-                                            lambda b_, i: (b_, 0, 0, 0),
-                                            memory_space=pltpu.VMEM))
-            dq_spec = pl.BlockSpec((1, hp, wp, c3),
-                                   lambda b_, i: (b_, 0, 0, 0),
-                                   memory_space=pltpu.VMEM)
-        else:
-            in_specs.insert(1, pl.BlockSpec((1, wh, wp, c),
-                                            lambda b_, i: (b_, i, 0, 0),
-                                            memory_space=pltpu.VMEM))
-            dq_spec = pl.BlockSpec((1, wh, wp, c3),
-                                   lambda b_, i: (b_, i, 0, 0),
-                                   memory_space=pltpu.VMEM)
+        in_specs.insert(1, pl.BlockSpec((bp, wh, wp, c),
+                                        lambda b_, i: (b_, i, 0, 0),
+                                        memory_space=pltpu.VMEM))
         out_shapes = (
             jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
             jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
         )
         out_specs = (
-            dq_spec,
+            pl.BlockSpec((bp, wh, wp, c3),
+                         lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         )
@@ -491,7 +577,8 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=_scratch(g, n, c3, c, qkv.dtype, bwd=True),
+        scratch_shapes=_scratch(g, g // bp, n, c3, c, qkv.dtype,
+                                bwd=True),
         interpret=INTERPRET,
     )(qkv_in, dctx_in, rel_bias, mask_in)
     return dqkv.reshape(b, hp, wp, c3), dbias

@@ -67,14 +67,16 @@ def test_forward_matches_xla_path(h, w, c, heads, window, shift):
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("h,w,c,heads,window,shift", [
-    (14, 14, 16, 2, (7, 7), (3, 3)),   # image mode
-    (16, 16, 16, 2, (7, 7), (3, 3)),   # image mode, padded grid
-    (28, 98, 16, 2, (7, 7), (3, 3)),   # strip mode
-    (14, 147, 16, 2, (7, 7), (0, 3)),  # chunked mode
+@pytest.mark.parametrize("b,h,w,c,heads,window,shift", [
+    (2, 14, 14, 16, 2, (7, 7), (3, 3)),   # strip mode, bp=2 packed
+    (2, 16, 16, 16, 2, (7, 7), (3, 3)),   # packed, padded grid
+    (4, 14, 14, 16, 2, (7, 7), (3, 3)),   # bp=4 batch packing
+    (3, 16, 16, 16, 2, (7, 7), (3, 3)),   # odd batch -> bp=1
+    (2, 28, 98, 16, 2, (7, 7), (3, 3)),   # multi-strip grid
+    (2, 14, 147, 16, 2, (7, 7), (0, 3)),  # chunked mode
 ])
-def test_vjp_matches_xla_path(h, w, c, heads, window, shift):
-    inp = _make_inputs(jax.random.PRNGKey(1), 2, h, w, c, heads, window)
+def test_vjp_matches_xla_path(b, h, w, c, heads, window, shift):
+    inp = _make_inputs(jax.random.PRNGKey(1), b, h, w, c, heads, window)
     kw = dict(window_size=window, shift_size=shift, num_heads=heads)
 
     def loss(fn, p):
