@@ -82,8 +82,9 @@ def main(argv=None):
 
     ds = SegArtifactNoLabelDataset(config.DATA.DATA_PATH, config.LIST_DIR,
                                    args.split)
-    loader = EvalLoader(ds, img_size=img_size)
-    predict_step = make_predict_step(model)
+    num_classes = int(config.MODEL.NUM_CLASSES)
+    loader = EvalLoader(ds, img_size=img_size, num_classes=num_classes)
+    predict_step = make_predict_step(model, num_classes=num_classes)
 
     if args.tile:
         preds = []
@@ -93,6 +94,18 @@ def main(argv=None):
             preds.append((batch["case_name"][0], pm))
     else:
         preds = artifact_prediction(predict_step, params, loader)
+
+    if num_classes > 1:
+        # multi-class: argmax class maps + binary-style exports of the
+        # max-over-classes probability (same routing as test_cli)
+        from ..viz.maps import export_class_maps
+
+        export_class_maps(
+            [(c, p) for c, p in preds if np.asarray(p).ndim == 3],
+            args.out_dir, bg_threshold=float(args.threshold),
+        )
+        preds = [(c, np.asarray(p).max(axis=-1) if np.asarray(p).ndim == 3
+                  else np.asarray(p)) for c, p in preds]
 
     written = create_bin_heat_mask_from_list(
         preds, args.out_dir, config.DATA.DATA_PATH,

@@ -108,24 +108,27 @@ def main(argv=None):
             f"(score {payload.get('best_score')})"
         )
 
+    num_classes = int(config.MODEL.NUM_CLASSES)
     db = SegArtifactDataset(config.DATA.DATA_PATH, config.LIST_DIR, args.split)
-    loader = EvalLoader(db, img_size=img_size)
+    loader = EvalLoader(db, img_size=img_size, num_classes=num_classes)
 
     alpha = float(config.TRAIN.TVERSKY_LOSS_ALPHA)
     beta = float(config.TRAIN.TVERSKY_LOSS_BETA)
     mix = float(config.TRAIN.LOSS_TVERSKY_BCE_MIX)
-    eval_step = make_eval_step(model, alpha, beta, mix)
+    eval_step = make_eval_step(model, alpha, beta, mix,
+                               num_classes=num_classes)
 
     csv_handler = CSVHandler(args.out_dir)
     if args.tile:
         # sliding-window evaluation at full resolution
         from ..metrics.segmentation import (
-            MetricsAggregator, compute_case_metrics_jit, to_case_metrics,
+            MetricsAggregator, compute_case_metrics_jit,
+            compute_case_metrics_multiclass_jit, to_case_metrics,
         )
         from ..train.inference import tiled_predict
         from ..train.state import make_predict_step
 
-        predict_step = make_predict_step(model)
+        predict_step = make_predict_step(model, num_classes=num_classes)
         agg = MetricsAggregator()
         output_saver = []
         for batch in loader:
@@ -134,7 +137,9 @@ def main(argv=None):
                 tile=args.tile, overlap=args.tile_overlap,
             )
             case_name = batch["case_name"][0]
-            m = compute_case_metrics_jit(
+            case_metrics = (compute_case_metrics_jit if num_classes <= 1
+                            else compute_case_metrics_multiclass_jit)
+            m = case_metrics(
                 jnp.asarray(probs), jnp.asarray(batch["label"][0]),
                 float(config.TEST.SIG_THRESHOLD),
             )
@@ -150,10 +155,25 @@ def main(argv=None):
             sig_threshold=float(config.TEST.SIG_THRESHOLD),
             output_num=len(loader),
             logger=logging, csv_handler=csv_handler,
+            num_classes=num_classes, collapse_probs=False,
         )
     csv_handler.close_files()
 
     pred_dir = os.path.join(args.out_dir, "predictions")
+    if num_classes > 1:
+        # multi-class extension: per-pixel argmax class map, plus the
+        # binary-style exports of the max-over-classes probability
+        from ..viz.maps import export_class_maps
+
+        export_class_maps(
+            [(c, p) for c, p in output_saver if np.asarray(p).ndim == 3],
+            pred_dir, bg_threshold=float(config.TEST.SIG_THRESHOLD),
+        )
+        output_saver = [
+            (c, np.asarray(p).max(axis=-1) if np.asarray(p).ndim == 3
+             else np.asarray(p))
+            for c, p in output_saver
+        ]
     # reference exports binary masks at threshold 0.4 here (test.py:206)
     # and a copy of the original image per case (test.py:209)
     create_bin_heat_mask_from_list(

@@ -72,8 +72,10 @@ def tiled_predict(
     """Sliding-window probability map for one (H, W, 3) uint8 image.
 
     ``predict_step(params, (B, tile, tile, 3) u8) -> (B, tile, tile)``
-    probabilities.  Overlapping predictions are blended with a 2-D Hann
-    window, so seams vanish; tiles are batched to keep the MXU fed.
+    probabilities — or ``(B, tile, tile, C)`` per-class maps, which are
+    blended channel-wise and returned as ``(H, W, C)``.  Overlapping
+    predictions are blended with a 2-D Hann window, so seams vanish;
+    tiles are batched to keep the MXU fed.
     """
     h, w, _ = image_u8.shape
     stride = max(1, int(tile * (1.0 - overlap)))
@@ -82,7 +84,7 @@ def tiled_predict(
 
     coords = [(y, x) for y in ys for x in xs]
     win = _hann2d(tile)
-    acc = np.zeros((h, w), np.float64)
+    acc = None  # allocated once the channel count is known
     den = np.zeros((h, w), np.float64)
 
     for i in range(0, len(coords), batch_tiles):
@@ -92,7 +94,11 @@ def tiled_predict(
             pad = np.zeros((batch_tiles - len(chunk), tile, tile, 3), np.uint8)
             tiles = np.concatenate([tiles, pad])
         probs = np.asarray(predict_step(params, jnp.asarray(tiles)))
+        if acc is None:
+            acc = np.zeros((h, w) + probs.shape[3:], np.float64)
         for (y, x), p in zip(chunk, probs):
-            acc[y:y + tile, x:x + tile] += p.astype(np.float64) * win
+            wv = win if p.ndim == 2 else win[:, :, None]
+            acc[y:y + tile, x:x + tile] += p.astype(np.float64) * wv
             den[y:y + tile, x:x + tile] += win
-    return (acc / np.maximum(den, 1e-9)).astype(np.float32)
+    dv = den if acc.ndim == 2 else den[:, :, None]
+    return (acc / np.maximum(dv, 1e-9)).astype(np.float32)

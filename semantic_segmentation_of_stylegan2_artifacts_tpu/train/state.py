@@ -201,13 +201,19 @@ def make_eval_step(
     return jax.jit(step_fn)
 
 
-def make_predict_step(model) -> Callable:
-    """Jitted label-free inference: (params, image_u8) -> probs fp32."""
+def make_predict_step(model, num_classes: int = 1) -> Callable:
+    """Jitted label-free inference: (params, image_u8) -> probs fp32.
+
+    ``num_classes > 1`` keeps all class channels: ``(B, H, W, C)``
+    per-class sigmoids (multi-label semantics, ``losses/multiclass.py``).
+    """
 
     def step_fn(params, image_u8):
         images = normalize_images(image_u8, model.dtype)
         logits = model.apply({"params": params}, images, True)
-        return jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        if num_classes <= 1:
+            return jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     return jax.jit(step_fn)
 

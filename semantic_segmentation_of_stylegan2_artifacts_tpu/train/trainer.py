@@ -83,11 +83,16 @@ def validate(
     logger=None,
     csv_handler: Optional[CSVHandler] = None,
     num_classes: int = 1,
+    collapse_probs: bool = True,
 ):
     """Run the metric pass over a batch-1 loader (reference
     ``validation_functions.py:37-211``).
 
     Returns ``(mean_soft_dice, output_saver, Score, mean_FPR, summary)``.
+    ``collapse_probs=False`` keeps the full ``(H, W, C)`` per-class maps
+    in ``output_saver`` for multi-class exports (class maps); the default
+    collapses them to the max-over-classes map the binary-style PNG
+    exporters expect.
     """
     agg = MetricsAggregator()
     output_saver: List[Tuple[str, np.ndarray]] = []
@@ -127,7 +132,7 @@ def validate(
             if n_cases < output_num:
                 # multi-class: export the max-over-classes probability map
                 pm = np.asarray(probs[i])
-                if pm.ndim == 3:
+                if pm.ndim == 3 and collapse_probs:
                     pm = pm.max(axis=-1)
                 output_saver.append((case_name, pm))
             n_cases += 1

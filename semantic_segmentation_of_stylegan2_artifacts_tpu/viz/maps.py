@@ -114,6 +114,50 @@ def overlay_mask_on_image(img_hw3: np.ndarray, mask_hw: np.ndarray,
     return img
 
 
+# distinct mid-saturation colors for class ids 1..12 (0 = background stays
+# black); multi-class artifact segmentation is an extension beyond the
+# binary reference task (BASELINE.json workload #5)
+_CLASS_PALETTE = np.array(
+    [(0, 0, 0), (230, 25, 75), (60, 180, 75), (255, 225, 25), (0, 130, 200),
+     (245, 130, 48), (145, 30, 180), (70, 240, 240), (240, 50, 230),
+     (210, 245, 60), (250, 190, 212), (0, 128, 128), (220, 190, 255)],
+    dtype=np.uint8,
+)
+
+
+def save_class_map(probs_hwc: np.ndarray, out_png: str,
+                   bg_threshold: float = 0.5) -> np.ndarray:
+    """Color PNG of the argmax class per pixel from per-class sigmoids.
+
+    Channel ``c`` holds class id ``c`` (0 = background).  A pixel whose
+    winning probability is below ``bg_threshold`` is painted background —
+    per-class sigmoids are multi-label, so low-confidence argmax pixels
+    are not artifact claims.
+    """
+    p = np.asarray(probs_hwc, np.float32)
+    cls = p.argmax(axis=-1)
+    cls = np.where(p.max(axis=-1) >= bg_threshold, cls, 0)
+    rgb = _CLASS_PALETTE[np.minimum(cls, len(_CLASS_PALETTE) - 1)]
+    if out_png:
+        Image.fromarray(rgb, "RGB").save(out_png)
+    return rgb
+
+
+def export_class_maps(
+    output_saver: Iterable[Tuple[str, np.ndarray]],
+    pred_dir: str,
+    bg_threshold: float = 0.5,
+) -> List[str]:
+    """Write ``{case}_class_map.png`` for each (case, (H, W, C)) entry."""
+    os.makedirs(pred_dir, exist_ok=True)
+    written: List[str] = []
+    for case_name, probs in output_saver:
+        out = os.path.join(pred_dir, f"{case_name}_class_map.png")
+        save_class_map(np.asarray(probs), out, bg_threshold)
+        written.append(out)
+    return written
+
+
 def create_bin_heat_mask_from_list(
     output_saver: Iterable[Tuple[str, np.ndarray]],
     pred_dir: str,

@@ -235,3 +235,91 @@ def test_multiclass_padded_eval_matches_batch1(tmp_path):
     out2 = validate(ev, state.params, padded, 1, 0.5, num_classes=3)
     assert abs(out1[0] - out2[0]) < 1e-6
     assert abs(out1[4].mean_val_loss - out2[4].mean_val_loss) < 1e-5
+
+
+def test_multiclass_test_cli_exports_class_maps(tmp_path):
+    """test.py end-to-end with NUM_CLASSES=3: multiclass metrics route,
+    class-map PNGs, and the binary-style exports of the collapsed map —
+    in both whole-image and sliding-window (--tile) modes."""
+    import logging
+    import os
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.cli import test_cli
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        default_config,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.data.synthetic import (
+        generate_synthetic_dataset,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    root = str(tmp_path / "mc_data")
+    generate_synthetic_dataset(root, img_size=32, num_classes=3)
+    out_dir = str(tmp_path / "mc_out")
+
+    cfg_path = str(tmp_path / "mc.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "DATA:\n"
+            f"  DATA_PATH: {root}\n"
+            "  IMG_SIZE: 32\n"
+            "  NUM_WORKERS: 2\n"
+            f"LIST_DIR: {os.path.join(root, 'lists')}\n"
+            "TRAIN:\n"
+            "  MAX_EPOCHS: 1\n"
+            "  WARMUP_EPOCHS: 0\n"
+            "  BASE_LR: 1.0e-4\n"
+            "MODEL:\n"
+            "  FREEZE_ENCODER: false\n"
+            "  NUM_CLASSES: 3\n"
+            "  SWIN:\n"
+            "    EMBED_DIM: 16\n"
+            "    DEPTHS: [1, 1, 1, 1]\n"
+            "    DECODER_DEPTHS: [1, 1, 1, 1]\n"
+            "    NUM_HEADS: [2, 2, 2, 2]\n"
+            "    WINDOW_SIZE: 4\n"
+            "SAVE_BEST_RUN: true\n"
+            "SHOW_PREDICTIONS: 1\n"
+            "TPU:\n"
+            "  COMPUTE_DTYPE: float32\n"
+        )
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        _update_config_from_file,
+    )
+    c = default_config()
+    _update_config_from_file(c, cfg_path)
+    model = MSUNet.from_config(c)
+    assert trainer(model, logging.getLogger("mc_cli"), None, out_dir,
+                   c) == "Training Finished!"
+
+    eval_dir = str(tmp_path / "mc_eval")
+    test_cli.main(["--cfg", cfg_path, "--check_point_dir", out_dir,
+                   "--out_dir", eval_dir])
+    preds = os.listdir(os.path.join(eval_dir, "predictions"))
+    cases = [p[: -len("_class_map.png")] for p in preds
+             if p.endswith("_class_map.png")]
+    assert len(cases) == 3  # every test case gets an argmax class map
+    for case in cases:  # plus the full binary-style export set
+        assert f"{case}_grey_heats.png" in preds
+        assert f"{case}_bin_mask.png" in preds
+        assert f"{case}.png" in preds
+
+    # sliding-window mode: the 32-trained model tiles a 64^2 dataset
+    root64 = str(tmp_path / "mc_data64")
+    generate_synthetic_dataset(root64, img_size=64, num_classes=3)
+    cfg64 = str(tmp_path / "mc64.yaml")
+    with open(cfg_path) as f:
+        body = f.read()
+    with open(cfg64, "w") as f:
+        f.write(body.replace(f"DATA_PATH: {root}", f"DATA_PATH: {root64}")
+                .replace("IMG_SIZE: 32", "IMG_SIZE: 64")
+                .replace(os.path.join(root, 'lists'),
+                         os.path.join(root64, 'lists')))
+    tile_dir = str(tmp_path / "mc_eval_tile")
+    test_cli.main(["--cfg", cfg64, "--check_point_dir", out_dir,
+                   "--out_dir", tile_dir, "--tile", "32"])
+    tpreds = os.listdir(os.path.join(tile_dir, "predictions"))
+    assert sum(p.endswith("_class_map.png") for p in tpreds) == 3

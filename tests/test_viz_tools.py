@@ -250,6 +250,45 @@ def test_tiled_predict_blends_seamlessly():
     np.testing.assert_allclose(out, want, atol=1e-4)
 
 
+def test_tiled_predict_multiclass_channels():
+    """(B,t,t,C) per-class maps blend channel-wise to (H,W,C)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.inference import (
+        tiled_predict,
+    )
+
+    # fake per-class predictor: class c map = channel-c intensity
+    def predict_step(params, tiles):
+        return tiles.astype(jnp.float32) / 255.0
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+    out = tiled_predict(predict_step, None, img, tile=32, overlap=0.5)
+    assert out.shape == (64, 80, 3)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-4)
+
+
+def test_save_class_map_and_export(tmp_path):
+    """Argmax class map: palette colors, background gating, file export."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.viz.maps import (
+        _CLASS_PALETTE,
+        export_class_maps,
+        save_class_map,
+    )
+
+    probs = np.zeros((4, 4, 3), np.float32)
+    probs[0, 0] = (0.1, 0.9, 0.2)   # class 1 wins confidently
+    probs[1, 1] = (0.2, 0.1, 0.8)   # class 2 wins confidently
+    probs[2, 2] = (0.1, 0.3, 0.2)   # low confidence -> background
+    rgb = save_class_map(probs, str(tmp_path / "cm.png"), bg_threshold=0.5)
+    assert tuple(rgb[0, 0]) == tuple(_CLASS_PALETTE[1])
+    assert tuple(rgb[1, 1]) == tuple(_CLASS_PALETTE[2])
+    assert tuple(rgb[2, 2]) == tuple(_CLASS_PALETTE[0])
+    written = export_class_maps([("case1", probs)], str(tmp_path / "d"))
+    import os
+    assert all(os.path.exists(w) for w in written)
+    assert written[0].endswith("case1_class_map.png")
+
+
 def test_step_timer():
     from semantic_segmentation_of_stylegan2_artifacts_tpu.utils.profiling import (
         StepTimer,
