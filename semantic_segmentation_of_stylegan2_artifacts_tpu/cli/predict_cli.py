@@ -67,7 +67,10 @@ def main(argv=None):
 
     ckpt = args.check_point_dir
     if os.path.isdir(ckpt):
-        ckpt = os.path.join(ckpt, "best_model.msgpack")
+        pth = os.path.join(ckpt, "best_model.pth")
+        if os.path.exists(pth):
+            ckpt = pth
+        # otherwise load_best resolves msgpack/orbax inside the directory
     if ckpt.endswith((".pth", ".pt")):
         from ..models.weight_convert import (
             convert_msunet_state_dict, load_torch_state_dict,

@@ -36,10 +36,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def _resolve_checkpoint(path: str) -> str:
     if os.path.isdir(path):
-        for name in ("best_model.msgpack", "best_model.pth"):
+        for name in ("best_model.msgpack", "best_model.pth",
+                     "best_model.orbax"):
             cand = os.path.join(path, name)
             if os.path.exists(cand):
                 return cand
+        if path.endswith(".orbax"):  # the dir IS an orbax checkpoint
+            return path
         raise FileNotFoundError(f"No best_model checkpoint in {path}")
     return path
 

@@ -256,6 +256,10 @@ def default_config() -> CfgNode:
     c.TPU.DEVICE_PREFETCH = 2  # device-side input double buffering: batches
     # placed (async H2D) ahead of the running step; 1 = synchronous
     c.TPU.EVAL_BATCH = 1  # >1 batches validation (exact per-case metrics)
+    c.TPU.CKPT_BACKEND = "msgpack"  # msgpack (single file) | orbax
+    # (directory; sharding-aware — sharded arrays written per-shard)
+    c.TPU.CKPT_ASYNC = False  # save checkpoints from a background thread,
+    # overlapping D2H + serialization with the next epoch's compute
     return c
 
 

@@ -43,7 +43,7 @@ from ..metrics.segmentation import (
     to_case_metrics,
 )
 from ..viz.maps import create_bin_heat_mask_from_list
-from .checkpoint import save_best, save_last
+from .checkpoint import CheckpointWriter
 from .optim import build_optimizer, carry_opt_state
 from .schedule import CosineWarmupSchedule
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
@@ -240,9 +240,10 @@ def trainer(
     if resume_from:
         from flax import serialization as _ser
 
-        from .checkpoint import restore_checkpoint
+        from .checkpoint import read_checkpoint_auto
 
-        raw = restore_checkpoint(resume_from)  # structure-free msgpack read
+        # structure-free read: msgpack file or orbax directory
+        raw = read_checkpoint_auto(resume_from)
         start_epoch = int(raw["epoch"]) + 1
         if freeze_encoder:
             # Replay the scheduled unfreezes up to the resume epoch (one
@@ -259,11 +260,11 @@ def trainer(
                                  0 in frozen_stages)
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
         try:
-            payload = restore_checkpoint(
-                resume_from,
-                target={"epoch": 0, "model": state.params,
-                        "optimizer": state.opt_state, "iter_num": 0,
-                        "dice": 0.0},
+            payload = _ser.from_state_dict(
+                {"epoch": 0, "model": state.params,
+                 "optimizer": state.opt_state, "iter_num": 0,
+                 "dice": 0.0},
+                raw,
             )
             # step is restored too: the train step folds state.step into
             # the dropout key, so resumed stochastic-depth noise continues
@@ -327,6 +328,10 @@ def trainer(
     iter_num = 0
     last_run = False
     save_best_output: List[Tuple[str, np.ndarray]] = []
+    ckpt_writer = CheckpointWriter(
+        backend=str(config.TPU.CKPT_BACKEND),
+        async_=bool(config.TPU.CKPT_ASYNC),
+    )
     unfreeze_in_next_epoch = False
     mean_dice = float("nan")
     train_loss_list: List[float] = []
@@ -399,8 +404,8 @@ def trainer(
             best_score = score
             since_best = 0
             if config.SAVE_BEST_RUN:
-                path = save_best(log_save_path, state.params, epoch_num + 1,
-                                 best_score)
+                path = ckpt_writer.save_best(log_save_path, state.params,
+                                             epoch_num + 1, best_score)
                 logger.info(
                     f"Saved new BEST weights to {path} (Score={best_score:.5f})"
                 )
@@ -422,8 +427,8 @@ def trainer(
         if epoch_num >= max_epoch - 1:
             last_run = True
             if config.SAVE_LAST_RUN:
-                save_last(log_save_path, epoch_num, state.params,
-                          state.opt_state, iter_num, mean_dice)
+                ckpt_writer.save_last(log_save_path, epoch_num, state.params,
+                                      state.opt_state, iter_num, mean_dice)
 
         if last_run:
             if save_best_output:
@@ -434,6 +439,7 @@ def trainer(
             break
 
     csv_handler.close_files()
+    ckpt_writer.close()  # joins pending async saves; re-raises failures
     if writer is not None:
         writer.close()
     logger.info("Training finished")
