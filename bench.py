@@ -77,6 +77,9 @@ def main():
                     help="disable the fused Pallas window-attention kernel "
                          "(TPU.USE_PALLAS_ATTENTION, default on: flash-style "
                          "backward, no saved probs tensors, +16%%)")
+    ap.add_argument("--no_fused_mlp", action="store_true",
+                    help="disable the fused LN+fc1+GELU+fc2 MLP-sublayer "
+                         "kernel (TPU.FUSED_MLP)")
     ap.add_argument("--no_fused_head", action="store_true",
                     help="disable the Pallas fused GELU+depth-to-space head "
                          "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
@@ -106,6 +109,7 @@ def main():
         model = MSUNet(img_size=128, embed_dim=32, depths=(2, 2, 2, 2),
                        num_heads=(2, 2, 4, 4), window_size=7,
                        dtype=jnp.bfloat16, softmax_dtype=softmax_dtype,
+                       use_fused_mlp=not args.no_fused_mlp,
                        gelu_tanh=not args.gelu_exact)
         img_size = 128
         batch = 2
@@ -132,6 +136,7 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
+                       use_fused_mlp=not args.no_fused_mlp,
                        use_pallas=_pallas_cfg(args),
                        softmax_dtype=softmax_dtype)
         img_size = args.img

@@ -247,6 +247,8 @@ def default_config() -> CfgNode:
     c.TPU.HOLD_WINDOW_LAYOUT = False  # window-major layout held across a stage (v5e: loses, pads feed the MLPs)
     c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)
     c.TPU.FUSED_HEAD = True  # Pallas fused GELU+depth-to-space in the up_x4 head
+    c.TPU.FUSED_MLP = True  # Pallas fused LN+fc1+GELU+fc2 MLP sublayer
+    # (flash-style bwd, 4C hidden never in HBM; dim<=512 stages only)
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.SPATIAL_AXIS = ""  # mesh axis for token-grid H sharding ("" = off;
     # set to "space" with a make_mesh(n_space>1) mesh for spatial/sequence

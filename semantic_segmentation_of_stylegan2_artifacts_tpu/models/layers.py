@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import fused_head, fused_refine_head, fused_window_attention, \
-    patch_ops
+from ..ops import fused_head, fused_mlp, fused_refine_head, \
+    fused_window_attention, patch_ops
 from ..ops.window_attention import (
     real_token_mask,
     relayout_windows,
@@ -53,6 +53,43 @@ def _gelu(x: jax.Array, approximate: bool = False) -> jax.Array:
 def layer_norm(name: str, dtype: jnp.dtype = jnp.float32) -> nn.LayerNorm:
     """LayerNorm with torch epsilon; stats in fp32, output in ``dtype``."""
     return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=name)
+
+
+def apply_layer_norm(
+    x: jax.Array, scale: jax.Array, bias: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Functional ``nn.LayerNorm`` (torch eps, f32 fast-variance stats)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    y = (xf - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+    return y.astype(dtype)
+
+
+class LayerNormParams(nn.Module):
+    """Parameter holder for a LayerNorm consumed by a fused op.
+
+    Keeps the ``<name>/scale`` + ``<name>/bias`` param layout of
+    ``nn.LayerNorm`` (so checkpoints are interchangeable) while letting
+    a Pallas kernel own the compute; ``__call__`` is the XLA fallback.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return apply_layer_norm(x, self.scale, self.bias, self.dtype)
 
 
 class DenseParams(nn.Module):
@@ -107,26 +144,35 @@ class Mlp(nn.Module):
     drop: float = 0.0
     gelu_tanh: bool = False
     dtype: jnp.dtype = jnp.float32
+    in_dim: int = 0  # 0 => out_dim (every Swin MLP is square in/out)
 
-    @nn.compact
+    def setup(self):
+        # params live in DenseParams holders (same ``fc1/kernel`` tree as
+        # nn.Dense) so the fused-MLP kernel path and this XLA path share
+        # one parameter layout regardless of which is traced at init
+        self.fc1 = DenseParams(self.in_dim or self.out_dim, self.hidden_dim)
+        self.fc2 = DenseParams(self.hidden_dim, self.out_dim)
+        self.drop1 = nn.Dropout(self.drop)
+        self.drop2 = nn.Dropout(self.drop)
+
+    def fused_params(self):
+        """(fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) for the fused op."""
+        return self.fc1() + self.fc2()
+
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(
-            self.hidden_dim,
-            kernel_init=trunc_normal_init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="fc1",
-        )(x)
+        k1, b1 = self.fc1()
+        k2, b2 = self.fc2()
+        dt = self.dtype
+        nd = x.ndim - 1
+        x = jax.lax.dot_general(
+            x.astype(dt), k1.astype(dt), (((nd,), (0,)), ((), ()))
+        ) + b1.astype(dt)
         x = _gelu(x, self.gelu_tanh)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(
-            self.out_dim,
-            kernel_init=trunc_normal_init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="fc2",
-        )(x)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = self.drop1(x, deterministic=deterministic)
+        x = jax.lax.dot_general(
+            x, k2.astype(dt), (((nd,), (0,)), ((), ()))
+        ) + b2.astype(dt)
+        x = self.drop2(x, deterministic=deterministic)
         return x
 
 
@@ -248,6 +294,7 @@ class SwinBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    use_fused_mlp: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -276,7 +323,7 @@ class SwinBlock(nn.Module):
             name="attn",
         )
         self.stochastic_depth = StochasticDepth(self.stochastic_depth_prob)
-        self.norm2 = layer_norm("norm2", self.dtype)
+        self.norm2 = LayerNormParams(self.dim, dtype=self.dtype, name="norm2")
         self.mlp = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio),
             out_dim=self.dim,
@@ -320,7 +367,19 @@ class SwinBlock(nn.Module):
                 mask_np=mask_np,
             )
         x = x + self.stochastic_depth(y, deterministic)
-        y = self.mlp(self.norm2(x), deterministic=deterministic)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.use_fused_mlp and fused_mlp.supported(
+            x.shape, hidden,
+            dropout=self.dropout, deterministic=deterministic,
+        ):
+            k1, b1, k2, b2 = self.mlp.fused_params()
+            y = fused_mlp.fused_mlp(
+                x, self.norm2.scale, self.norm2.bias, k1, b1, k2, b2,
+                gelu_tanh=self.gelu_tanh,
+                data_mesh=self.data_mesh, data_axis=self.data_axis,
+            )
+        else:
+            y = self.mlp(self.norm2(x), deterministic=deterministic)
         x = x + self.stochastic_depth(y, deterministic)
         return x
 
@@ -579,6 +638,7 @@ class BasicLayer(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    use_fused_mlp: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -603,6 +663,7 @@ class BasicLayer(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                use_fused_mlp=self.use_fused_mlp,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,
@@ -646,6 +707,7 @@ class BasicLayerUp(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
+    use_fused_mlp: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -670,6 +732,7 @@ class BasicLayerUp(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
+                use_fused_mlp=self.use_fused_mlp,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,

@@ -146,6 +146,7 @@ class MSUNetSys(nn.Module):
     # their dim) — 1024²+ uses (False, False, True, True): wide grids
     # stay on XLA (see ops/fused_window_attention.supported + BASELINE.md)
     use_pallas: Union[bool, Tuple[bool, ...]] = False
+    use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -191,6 +192,7 @@ class MSUNetSys(nn.Module):
         dpr = _dpr(self.drop_path_rate, self.depths)
         common = dict(
             window_size=self.window_size,
+            use_fused_mlp=self.use_fused_mlp and not self.spatial_axis,
             data_mesh=self.data_mesh,
             data_axis=self.data_axis,
             mlp_ratio=self.mlp_ratio,
@@ -420,6 +422,7 @@ class MSUNet(nn.Module):
     remat_high_res: bool = False
     remat_policy: str = ""
     use_pallas: Union[bool, Tuple[bool, ...]] = False
+    use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -491,6 +494,7 @@ class MSUNet(nn.Module):
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
             fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
+            use_fused_mlp=bool(getattr(config.TPU, "FUSED_MLP", False)),
             spatial_axis=str(getattr(config.TPU, "SPATIAL_AXIS", "")),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
@@ -518,6 +522,7 @@ class MSUNet(nn.Module):
             remat_high_res=self.remat_high_res,
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
+            use_fused_mlp=self.use_fused_mlp,
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
