@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--no_fused_mlp", action="store_true",
                     help="disable the fused LN+fc1+GELU+fc2 MLP-sublayer "
                          "kernel (TPU.FUSED_MLP)")
+    ap.add_argument("--fused_block", action="store_true",
+                    help="enable the whole-Swin-block Pallas kernel "
+                         "(TPU.FUSED_BLOCK; supersedes the attention/MLP "
+                         "kernels on dim<=512 blocks)")
     ap.add_argument("--no_fused_head", action="store_true",
                     help="disable the Pallas fused GELU+depth-to-space head "
                          "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
@@ -110,6 +114,7 @@ def main():
                        num_heads=(2, 2, 4, 4), window_size=7,
                        dtype=jnp.bfloat16, softmax_dtype=softmax_dtype,
                        use_fused_mlp=not args.no_fused_mlp,
+                       use_fused_block=args.fused_block,
                        gelu_tanh=not args.gelu_exact)
         img_size = 128
         batch = 2
@@ -137,6 +142,7 @@ def main():
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
                        use_fused_mlp=not args.no_fused_mlp,
+                       use_fused_block=args.fused_block,
                        use_pallas=_pallas_cfg(args),
                        softmax_dtype=softmax_dtype)
         img_size = args.img

@@ -249,6 +249,9 @@ def default_config() -> CfgNode:
     c.TPU.FUSED_HEAD = True  # Pallas fused GELU+depth-to-space in the up_x4 head
     c.TPU.FUSED_MLP = True  # Pallas fused LN+fc1+GELU+fc2 MLP sublayer
     # (flash-style bwd, 4C hidden never in HBM; dim<=512 stages only)
+    c.TPU.FUSED_BLOCK = False  # whole-Swin-block Pallas kernel (dim<=512;
+    # supersedes FUSED_MLP/attention kernels on supported blocks; flip
+    # after the r3 A/B on hardware)
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.SPATIAL_AXIS = ""  # mesh axis for token-grid H sharding ("" = off;
     # set to "space" with a make_mesh(n_space>1) mesh for spatial/sequence

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import fused_head, fused_mlp, fused_refine_head, \
-    fused_window_attention, patch_ops
+    fused_swin_block, fused_window_attention, patch_ops
 from ..ops.window_attention import (
     real_token_mask,
     relayout_windows,
@@ -132,6 +132,22 @@ class StochasticDepth(nn.Module):
         noise = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
         return x * noise / keep
 
+    def factors(
+        self, batch: int, deterministic: bool, dtype: jnp.dtype
+    ) -> jax.Array:
+        """Per-sample ``noise/keep`` multipliers as a ``(B,)`` f32 vector.
+
+        Consumed by the fused block kernel; draws the module RNG with the
+        same shape/order as ``__call__`` so both paths stay on one RNG
+        stream (``noise/keep`` is pre-rounded in ``dtype``, matching the
+        XLA path's low-precision arithmetic to 1 ulp)."""
+        if deterministic or self.rate == 0.0:
+            return jnp.ones((batch,), jnp.float32)
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        noise = jax.random.bernoulli(rng, keep, (batch, 1, 1, 1))
+        return (noise.astype(dtype) / keep).reshape(batch).astype(jnp.float32)
+
 
 class Mlp(nn.Module):
     """Transformer MLP: Linear -> GELU -> Dropout -> Linear -> Dropout.
@@ -205,6 +221,10 @@ class WindowAttention(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
             jnp.float32,
         )
+
+    def fused_block_params(self):
+        """(qkv_k, qkv_b, proj_k, proj_b, bias_table) for the fused block."""
+        return self.qkv() + self.proj() + (self.relative_position_bias_table,)
 
     def __call__(
         self,
@@ -295,6 +315,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     use_pallas: bool = False
     use_fused_mlp: bool = False
+    use_fused_block: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -305,7 +326,7 @@ class SwinBlock(nn.Module):
     def setup(self):
         w = self.window_size
         s = w // 2 if self.shift else 0
-        self.norm1 = layer_norm("norm1", self.dtype)
+        self.norm1 = LayerNormParams(self.dim, dtype=self.dtype, name="norm1")
         self.attn = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -342,6 +363,38 @@ class SwinBlock(nn.Module):
         """Spatial ``(B,H,W,C)`` by default; with ``window_major_hw=(H,W)``
         the input/output are window-major ``(B,nW,N,C)`` in this block's
         shift layout (held-layout path, see BasicLayer)."""
+        w = self.window_size
+        hidden = int(self.dim * self.mlp_ratio)
+        if (
+            window_major_hw is None
+            and self.use_fused_block
+            and self.qkv_bias
+            and fused_swin_block.supported(
+                x.shape, (w, w), self.num_heads, hidden,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                deterministic=deterministic,
+            )
+        ):
+            # whole-block kernel: LN1+qkv+attention+proj+res+LN2+MLP+res
+            sd1 = self.stochastic_depth.factors(
+                x.shape[0], deterministic, self.dtype)
+            sd2 = self.stochastic_depth.factors(
+                x.shape[0], deterministic, self.dtype)
+            qkv_k, qkv_b, proj_k, proj_b, bias_table = (
+                self.attn.fused_block_params())
+            k1, b1, k2, b2 = self.mlp.fused_params()
+            s = w // 2 if self.shift else 0
+            return fused_swin_block.fused_swin_block(
+                x.astype(self.dtype),
+                self.norm1.scale, self.norm1.bias,
+                qkv_k, qkv_b, proj_k, proj_b, bias_table,
+                self.norm2.scale, self.norm2.bias,
+                k1, b1, k2, b2, sd1, sd2,
+                window_size=(w, w), shift_size=(s, s),
+                num_heads=self.num_heads, gelu_tanh=self.gelu_tanh,
+                data_mesh=self.data_mesh, data_axis=self.data_axis,
+            )
         if window_major_hw is None:
             y = self.attn(self.norm1(x), deterministic=deterministic)
         else:
@@ -639,6 +692,7 @@ class BasicLayer(nn.Module):
     remat_policy: str = ""
     use_pallas: bool = False
     use_fused_mlp: bool = False
+    use_fused_block: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -664,6 +718,7 @@ class BasicLayer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
                 use_fused_mlp=self.use_fused_mlp,
+                use_fused_block=self.use_fused_block,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,
@@ -708,6 +763,7 @@ class BasicLayerUp(nn.Module):
     remat_policy: str = ""
     use_pallas: bool = False
     use_fused_mlp: bool = False
+    use_fused_block: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -733,6 +789,7 @@ class BasicLayerUp(nn.Module):
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
                 use_fused_mlp=self.use_fused_mlp,
+                use_fused_block=self.use_fused_block,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,

@@ -147,6 +147,7 @@ class MSUNetSys(nn.Module):
     # stay on XLA (see ops/fused_window_attention.supported + BASELINE.md)
     use_pallas: Union[bool, Tuple[bool, ...]] = False
     use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
+    use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -193,6 +194,7 @@ class MSUNetSys(nn.Module):
         common = dict(
             window_size=self.window_size,
             use_fused_mlp=self.use_fused_mlp and not self.spatial_axis,
+            use_fused_block=self.use_fused_block and not self.spatial_axis,
             data_mesh=self.data_mesh,
             data_axis=self.data_axis,
             mlp_ratio=self.mlp_ratio,
@@ -423,6 +425,7 @@ class MSUNet(nn.Module):
     remat_policy: str = ""
     use_pallas: Union[bool, Tuple[bool, ...]] = False
     use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
+    use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -495,6 +498,7 @@ class MSUNet(nn.Module):
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
             fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
             use_fused_mlp=bool(getattr(config.TPU, "FUSED_MLP", False)),
+            use_fused_block=bool(getattr(config.TPU, "FUSED_BLOCK", False)),
             spatial_axis=str(getattr(config.TPU, "SPATIAL_AXIS", "")),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
@@ -523,6 +527,7 @@ class MSUNet(nn.Module):
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
             use_fused_mlp=self.use_fused_mlp,
+            use_fused_block=self.use_fused_block,
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,

@@ -1,0 +1,166 @@
+"""Fused whole-Swin-block Pallas kernel vs the XLA block path.
+
+Runs the kernel in the Pallas interpreter on CPU and asserts forward and
+VJP parity against the plain ``SwinBlock`` (all per-op kernels off),
+including shifted windows, padded grids, stochastic depth (same RNG
+stream), gradient accumulation across the strip grid for every weight,
+and the shard_map data-parallel wrapper.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_segmentation_of_stylegan2_artifacts_tpu.models.layers import (
+    SwinBlock,
+)
+from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
+    fused_swin_block as fb,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fb, "INTERPRET", True)
+
+
+def _pair(shift, hw=(8, 8), c=128, heads=4, window=4, tanh=False,
+          drop_path=0.0):
+    kw = dict(dim=c, num_heads=heads, window_size=window, shift=shift,
+              gelu_tanh=tanh, stochastic_depth_prob=drop_path)
+    blk_x = SwinBlock(use_fused_block=False, **kw)
+    blk_f = SwinBlock(use_fused_block=True, **kw)
+    x = (jax.random.normal(jax.random.PRNGKey(7), (2,) + hw + (c,)) * 0.5)
+    params = jax.jit(blk_x.init)(jax.random.PRNGKey(0), x)
+    return blk_x, blk_f, params, x
+
+
+CASES = [
+    # (shift, HW, C, heads, window, gelu_tanh)
+    (False, (8, 8), 128, 4, 4, False),
+    (True, (8, 8), 128, 4, 4, False),     # shifted: roll + region mask
+    (True, (10, 10), 128, 4, 4, True),    # pad 10->12 + shift + tanh
+    (False, (10, 6), 128, 4, 4, False),   # asymmetric pad
+    (True, (8, 8), 256, 8, 4, True),      # two windows per score group
+]
+
+
+@pytest.mark.parametrize("shift,hw,c,heads,window,tanh", CASES)
+def test_forward_matches_xla_block(shift, hw, c, heads, window, tanh):
+    blk_x, blk_f, params, x = _pair(shift, hw, c, heads, window, tanh)
+    want = blk_x.apply(params, x)
+    got = blk_f.apply(params, x)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("shift,hw,c,heads,window,tanh", CASES[:3])
+def test_vjp_matches_xla_block(shift, hw, c, heads, window, tanh):
+    blk_x, blk_f, params, x = _pair(shift, hw, c, heads, window, tanh)
+
+    def loss(blk):
+        def f(p, xx):
+            out = blk.apply(p, xx)
+            return jnp.sum(out * out)
+        return f
+
+    gp_w, gx_w = jax.grad(loss(blk_x), (0, 1))(params, x)
+    gp_g, gx_g = jax.grad(loss(blk_f), (0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_g), np.asarray(gx_w), atol=1e-3, rtol=1e-3,
+        err_msg="dx")
+    flat_w = jax.tree_util.tree_flatten_with_path(gp_w)[0]
+    flat_g = jax.tree_util.tree_flatten_with_path(gp_g)[0]
+    assert len(flat_w) == len(flat_g)
+    for (kw_, w), (kg_, g) in zip(flat_w, flat_g):
+        assert kw_ == kg_
+        name = jax.tree_util.keystr(kw_)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name}")
+
+
+def test_bfloat16_forward_close():
+    blk_x, blk_f, params, x = _pair(True, (8, 8), 128, 4, 4, True)
+    kw = dict(dim=128, num_heads=4, window_size=4, shift=True,
+              gelu_tanh=True, dtype=jnp.bfloat16)
+    blk_x = SwinBlock(use_fused_block=False, **kw)
+    blk_f = SwinBlock(use_fused_block=True, **kw)
+    want = blk_x.apply(params, x)
+    got = blk_f.apply(params, x)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_stochastic_depth_same_rng_stream():
+    """Training mode: both paths draw the same per-sample drop decisions."""
+    blk_x, blk_f, params, x = _pair(True, (8, 8), 128, 4, 4,
+                                    drop_path=0.5)
+    rngs = {"dropout": jax.random.PRNGKey(11)}
+    want = blk_x.apply(params, x, False, rngs=rngs)
+    got = blk_f.apply(params, x, False, rngs=rngs)
+    # same Bernoulli draws => dropped samples match exactly; kept samples
+    # agree to rounding (x*noise/keep vs x*(noise/keep))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+    # and the factors genuinely vary across samples/draws
+    many = blk_f.apply(
+        params,
+        jnp.tile(x, (8, 1, 1, 1)),
+        False,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    per_sample = np.asarray(many).reshape(16, -1)
+    assert len({round(float(np.abs(r).sum()), 3) for r in per_sample}) > 1
+
+
+def test_supported_gating():
+    ok = dict(dropout=0.0, attention_dropout=0.0, deterministic=True)
+    assert fb.supported((2, 8, 8, 128), (4, 4), 4, 512, **ok)
+    assert not fb.supported((2, 8, 8, 1024), (4, 4), 32, 4096, **ok)  # cap
+    assert not fb.supported((2, 8, 8, 120), (4, 4), 4, 512, **ok)
+    assert not fb.supported((2, 8, 8, 128), (23, 23), 1, 512, **ok)  # n cap
+    assert not fb.supported(
+        (2, 8, 200, 128), (4, 4), 4, 512, **ok)  # wide strip
+    assert not fb.supported(
+        (2, 8, 8, 128), (4, 4), 4, 512,
+        dropout=0.1, attention_dropout=0.0, deterministic=False)
+    assert fb.supported(
+        (2, 8, 8, 128), (4, 4), 4, 512,
+        dropout=0.1, attention_dropout=0.0, deterministic=True)
+
+
+def test_shard_map_matches_unsharded():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), ("data",))
+    kw = dict(dim=128, num_heads=4, window_size=4, shift=True)
+    blk_f = SwinBlock(use_fused_block=True, **kw)
+    blk_m = SwinBlock(use_fused_block=True, data_mesh=mesh, **kw)
+    x = (jax.random.normal(jax.random.PRNGKey(9), (4, 8, 8, 128)) * 0.5)
+    params = jax.jit(blk_f.init)(jax.random.PRNGKey(0), x)
+    want = blk_f.apply(params, x)
+    got = blk_m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def gp(blk):
+        def f(p):
+            out = blk.apply(p, x)
+            return jnp.sum(out * out)
+        return jax.grad(f)(params)
+
+    for (kw_, w), (_, g) in zip(
+        jax.tree_util.tree_flatten_with_path(gp(blk_f))[0],
+        jax.tree_util.tree_flatten_with_path(gp(blk_m))[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(kw_))
