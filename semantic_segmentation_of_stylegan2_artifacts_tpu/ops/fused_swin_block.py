@@ -404,7 +404,11 @@ def _param_specs(c, hid):
 
 
 def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
-                gelu_tanh):
+                gelu_tanh, save_ctx):
+    """``save_ctx=False`` (inference / primal-only): the attention context
+    lives in a VMEM scratch instead of an HBM output — kernel arg order
+    is unchanged because Pallas passes ``ins, outs, scratch`` and ctx is
+    either the second output or the first scratch."""
     b, hp, wp, c = x.shape
     n = wh * ww
     nwh, nww = hp // wh, wp // ww
@@ -426,26 +430,31 @@ def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
     ] + _param_specs(c, hid)
     out_spec = pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out, ctx = pl.pallas_call(
+    scratch = [
+        pltpu.VMEM((s_all, 3 * c), x.dtype),
+        pltpu.VMEM((s_cap, s_cap), jnp.float32),
+        pltpu.VMEM((s_cap, n), jnp.float32),
+        pltpu.VMEM((s_cap, s_cap), x.dtype),
+        pltpu.VMEM((s_all, c), x.dtype),
+    ]
+    if save_ctx:
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * 2
+        out_specs = (out_spec, out_spec)
+    else:
+        out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        out_specs = out_spec
+        scratch = [pltpu.VMEM((1, wh, wp, c), x.dtype)] + scratch
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
                           gelu_tanh=gelu_tanh),
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-        ),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((s_all, 3 * c), x.dtype),
-            pltpu.VMEM((s_cap, s_cap), jnp.float32),
-            pltpu.VMEM((s_cap, n), jnp.float32),
-            pltpu.VMEM((s_cap, s_cap), x.dtype),
-            pltpu.VMEM((s_all, c), x.dtype),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=INTERPRET,
     )(x, rm, rel_bias, mask, sd1[:, None], sd2[:, None], *params)
-    return out, ctx
+    return res if save_ctx else (res, None)
 
 
 def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
@@ -523,14 +532,16 @@ def _block_core(x, rm, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
     cotangents need no explicit collective: the shard_map transpose
     psums ``P()`` inputs' cotangents itself."""
     out, _ = _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params,
-                         wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh)
+                         wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
+                         save_ctx=False)
     return out
 
 
 def _block_core_fwd(x, rm, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
                     gelu_tanh):
     out, ctx = _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params,
-                           wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh)
+                           wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
+                           save_ctx=True)
     return out, (x, ctx, rm, rel_bias, mask, sd1, sd2, params)
 
 
