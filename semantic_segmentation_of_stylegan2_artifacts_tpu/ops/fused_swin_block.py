@@ -66,8 +66,20 @@ from .window_attention import relative_position_index, shifted_window_mask
 INTERPRET = False
 
 # widest channel dim whose five weight matrices (and their f32 gradient
-# accumulators in the backward) stay VMEM-resident for the whole grid
+# accumulators in the backward) stay VMEM-resident for the whole grid.
+# SSA_FUSED_BLOCK_DIM_CAP lowers it per-run (hardware triage: enable the
+# kernel stage-by-stage if a wide-head backward hits the compile cap).
 _DIM_CAP = 512
+
+
+def _dim_cap() -> int:
+    import os
+
+    try:
+        return min(_DIM_CAP, int(os.environ.get("SSA_FUSED_BLOCK_DIM_CAP",
+                                                _DIM_CAP)))
+    except ValueError:  # pragma: no cover
+        return _DIM_CAP
 
 
 def _ln_bwd(dn, xhat, rsig, scale):
@@ -587,7 +599,8 @@ def supported(
         return False
     if n > _S_CAP:
         return False
-    if c > _DIM_CAP or hidden_dim > 4 * _DIM_CAP:
+    cap = _dim_cap()
+    if c > cap or hidden_dim > 4 * cap:
         return False  # weights must stay VMEM-resident
     if (w + (-w % ww)) // ww > _MAX_BODY_WINDOWS:
         return False  # wide strips: per-op kernels / XLA handle these
