@@ -164,3 +164,35 @@ def test_shard_map_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=5e-4, rtol=5e-4,
             err_msg=jax.tree_util.keystr(kw_))
+
+
+def test_remat_stage_with_fused_block():
+    """1024²-style remat wrapping (jax.checkpoint around each block) must
+    compose with the whole-block custom_vjp."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.layers \
+        import BasicLayer
+
+    kw = dict(dim=128, depth=2, num_heads=4, window_size=4,
+              downsample=False)
+    st_x = BasicLayer(use_remat=True, **kw)
+    st_f = BasicLayer(use_remat=True, use_fused_block=True, **kw)
+    x = (jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 128)) * 0.5)
+    params = jax.jit(st_x.init)(jax.random.PRNGKey(0), x)
+
+    def loss(blk):
+        def f(p, xx):
+            out = blk.apply(p, xx)
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out * out)
+        return f
+
+    vx, gx = jax.value_and_grad(loss(st_x))(params, x)
+    vf, gf = jax.value_and_grad(loss(st_f))(params, x)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5)
+    for (k_, w), (_, g) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(k_))
