@@ -246,20 +246,33 @@ def main():
 
 
 def _main_with_retry():
-    """One retry on transient relay failures.
+    """One retry on transient relay failures, then a safe-config retry.
 
     The remote TPU compile helper occasionally dies (SIGKILL under its
     own memory cap) or the relay drops a step ("TPU backend error");
     both were observed to succeed on immediate retry (r2).  The driver
     runs this script exactly once per round, so a transient must not
-    record a failed benchmark.
+    record a failed benchmark.  If the retry ALSO fails (e.g. a new
+    kernel rejected by the remote Mosaic compiler), fall back once more
+    with the newest kernels disabled so a number is always recorded.
     """
     try:
         main()
+        return
     except Exception as e:  # noqa: BLE001
         print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
               f"retrying once", file=sys.stderr)
+    try:
         main()
+        return
+    except Exception as e:  # noqa: BLE001
+        print(f"bench attempt 2 failed ({type(e).__name__}: {e}); "
+              f"retrying with the newest kernels disabled", file=sys.stderr)
+    while "--fused_block" in sys.argv:
+        sys.argv.remove("--fused_block")
+    if "--no_fused_mlp" not in sys.argv:
+        sys.argv.append("--no_fused_mlp")
+    main()
 
 
 if __name__ == "__main__":
