@@ -196,3 +196,24 @@ def test_remat_stage_with_fused_block():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=2e-3, rtol=2e-3,
             err_msg=jax.tree_util.keystr(k_))
+
+
+def test_full_model_routing_matches():
+    """Whole MS-UNet with FUSED_BLOCK: C<=512 stages ride the block
+    kernel, the C=1024 bottleneck falls back — logits must match the
+    per-op model."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import (
+        MSUNet,
+    )
+
+    kw = dict(img_size=64, embed_dim=128, depths=(1, 1, 1, 1),
+              num_heads=(4, 8, 16, 32), window_size=7)
+    m_x = MSUNet(**kw)
+    m_f = MSUNet(use_fused_block=True, **kw)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(lambda: m_x.init({"params": jax.random.PRNGKey(0)}, x,
+                                 True))()
+    want = m_x.apply(v, x, True)
+    got = m_f.apply(v, x, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4)
