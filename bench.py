@@ -27,10 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from semantic_segmentation_of_stylegan2_artifacts_tpu.utils.platform import (
-    enable_compilation_cache,
+    apply_platform_override,
 )
 
-enable_compilation_cache()
+# honors SSA_TPU_PLATFORM=cpu (CPU smoke runs while the TPU relay is
+# down) and sets up the persistent compilation cache
+apply_platform_override()
 
 # Estimated PyTorch-reference throughput (images/sec) at 512x512 fwd+bwd,
 # fp16 AMP, single A100-class GPU, for this 52-block Swin-B MS-UNet.
