@@ -75,13 +75,17 @@ def _pallas_stages(flag: bool, img_size: int, patch: int, n_stages: int,
 
 
 def attention_plan(model) -> List[str]:
-    """Per-stage attention execution path, for logs and dry runs.
+    """Per-stage kernel execution paths, for logs and dry runs.
 
-    Reports, for each encoder stage's token grid, whether the fused
-    Pallas kernel or the XLA op will run, and — under a data-parallel
-    mesh — that the kernel is shard_mapped over the data axis (kernel
-    custom calls are not GSPMD-partitioned; VERDICT r2 missing #1).
+    Reports, for each encoder stage's token grid, whether the
+    whole-Swin-block kernel supersedes the per-op path, which attention
+    op runs (fused Pallas kernel vs XLA), whether the MLP sublayer uses
+    the fused kernel, and — under a data-parallel mesh — that kernels
+    are shard_mapped over the data axis (kernel custom calls are not
+    GSPMD-partitioned; VERDICT r2 missing #1).
     """
+    from ..ops import fused_mlp as fm
+    from ..ops import fused_swin_block as fsb
     from ..ops import fused_window_attention as fwa
 
     lines: List[str] = []
@@ -92,28 +96,51 @@ def attention_plan(model) -> List[str]:
     mesh = getattr(model, "data_mesh", None)
     axis = getattr(model, "data_axis", "data")
     dp = mesh.shape.get(axis, 1) if mesh is not None else 1
+    window = (model.window_size, model.window_size)
+
+    def _dp_suffix(interpret: bool) -> str:
+        if dp > 1:
+            return f" (shard_map over '{axis}'x{dp})"
+        if interpret:
+            return " (interpret)"
+        return ""
+
     for i in range(n_stages):
+        shape = (1, grids[i], grids[i], dims[i])
+        hidden = int(dims[i] * model.mlp_ratio)
+        if (
+            model.use_fused_block
+            and model.qkv_bias
+            and not model.spatial_axis
+            and fsb.supported(shape, window, model.num_heads[i], hidden)
+        ):
+            lines.append(
+                f"attention stage {i}: grid {grids[i]}x{grids[i]} "
+                f"c{dims[i]} -> fused-block kernel"
+                f"{_dp_suffix(fsb.INTERPRET)}"
+            )
+            continue
         flag = model.use_pallas
         if isinstance(flag, (tuple, list)):
             flag = bool(flag[i])
         active = (
             bool(flag)
             and not model.spatial_axis
-            and fwa.supported((1, grids[i], grids[i], dims[i]),
-                              (model.window_size, model.window_size),
-                              model.num_heads[i])
+            and fwa.supported(shape, window, model.num_heads[i])
         )
         if active:
-            path = "pallas-kernel"
-            if dp > 1:
-                path += f" (shard_map over '{axis}'x{dp})"
-            elif fwa.INTERPRET:
-                path += " (interpret)"
+            path = "pallas-kernel" + _dp_suffix(fwa.INTERPRET)
         else:
             reason = ("spatial sharding" if model.spatial_axis
                       else "unsupported shape/backend" if flag
                       else "disabled")
             path = f"xla ({reason})"
+        if (
+            model.use_fused_mlp
+            and not model.spatial_axis
+            and fm.supported(shape, hidden)
+        ):
+            path += ", fused-mlp"
         lines.append(
             f"attention stage {i}: grid {grids[i]}x{grids[i]} c{dims[i]} "
             f"-> {path}"

@@ -194,6 +194,58 @@ def test_attention_plan_reports_paths(tiny):
     assert all("xla (unsupported shape/backend)" in ln for ln in lines)
 
 
+def test_attention_plan_reports_block_and_mlp_kernels(tiny):
+    """Fused-block supersession and fused-MLP routing appear per stage."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.msunet import (
+        attention_plan,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
+        fused_mlp as fm,
+        fused_swin_block as fsb,
+        fused_window_attention as fwa,
+    )
+
+    # embed 32 -> dims 32/64/128/256: every stage clears the block
+    # kernel's gates (c%8, hidden%128, hd<=128), so the block kernel
+    # supersedes the per-op kernels everywhere
+    model = MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
+                   num_heads=(2, 2, 2, 2), window_size=4,
+                   use_pallas=True, use_fused_mlp=True,
+                   use_fused_block=True)
+    fwa.INTERPRET = True
+    fm.INTERPRET = True
+    fsb.INTERPRET = True
+    try:
+        lines = attention_plan(model)
+        # without the block kernel: per-op attention everywhere; the
+        # fused-MLP gate (c % 128) admits only stages 2-3
+        per_op = attention_plan(
+            MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
+                   num_heads=(2, 2, 2, 2), window_size=4,
+                   use_pallas=True, use_fused_mlp=True))
+    finally:
+        fwa.INTERPRET = False
+        fm.INTERPRET = False
+        fsb.INTERPRET = False
+    assert len(lines) == 4
+    assert all("fused-block kernel" in ln for ln in lines)
+    assert all("pallas-kernel" in ln for ln in per_op)
+    assert all("fused-mlp" not in ln for ln in per_op[:2])
+    assert all("fused-mlp" in ln for ln in per_op[2:])
+
+    # spatial sharding bypasses every kernel
+    sp = MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
+                num_heads=(2, 2, 2, 2), window_size=4,
+                use_pallas=True, use_fused_mlp=True,
+                use_fused_block=True, spatial_axis="space")
+    fsb.INTERPRET = True
+    try:
+        lines = attention_plan(sp)
+    finally:
+        fsb.INTERPRET = False
+    assert all("xla (spatial sharding)" in ln for ln in lines)
+
+
 def test_dp_matches_single_device(tiny):
     """Same global batch: sharded-8 and single-device runs agree."""
     model, c, state = tiny
