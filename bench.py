@@ -247,6 +247,41 @@ def main():
     print(json.dumps(result))
 
 
+def _probe_backend(timeout_s: int = 900) -> None:
+    """Fail fast (not hang) when the TPU relay is unreachable.
+
+    ``jax.devices()`` against a dead axon relay blocks indefinitely
+    (observed: a multi-hour relay outage on 2026-08-18), which would
+    hang the driver's bench run with no diagnostic.  Probe backend init
+    in a subprocess with a hard timeout instead; on failure, exit
+    nonzero with a clear message so the failure is attributable.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("SSA_TPU_PLATFORM"):  # forced platform: no relay
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: TPU backend init did not complete within "
+            f"{timeout_s}s — the axon relay is unreachable; aborting "
+            f"instead of hanging (set SSA_TPU_PLATFORM=cpu for a CPU "
+            f"smoke run)", file=sys.stderr,
+        )
+        raise SystemExit(3)
+    except subprocess.CalledProcessError:
+        # init crashed rather than hung: let the real run surface the
+        # error (it may be transient; the retry wrapper handles it)
+        pass
+
+
 def _main_with_retry():
     """One retry on transient relay failures, then a safe-config retry.
 
@@ -258,6 +293,7 @@ def _main_with_retry():
     kernel rejected by the remote Mosaic compiler), fall back once more
     with the newest kernels disabled so a number is always recorded.
     """
+    _probe_backend()
     try:
         main()
         return
