@@ -84,14 +84,14 @@ def create_splits(
         te_num, te_den = _ratio_to_units(fake_ratio_in_test)
 
     best = None
-    max_a = f_total // max(1, tr_num)
-    for a in range(max_a + 1):
-        rem1 = f_total - tr_num * a
-        if rem1 < 0:
+    a_hi = f_total // max(1, tr_num)
+    for a in range(a_hi + 1):
+        fake_left = f_total - tr_num * a
+        if fake_left < 0:
             break
-        max_b = rem1 // max(1, va_num)
-        for b in range(max_b + 1):
-            c = rem1 - va_num * b
+        b_hi = fake_left // max(1, va_num)
+        for b in range(b_hi + 1):
+            c = fake_left - va_num * b
             if c < 0 or c % max(1, te_num) != 0:
                 continue
             c //= max(1, te_num)

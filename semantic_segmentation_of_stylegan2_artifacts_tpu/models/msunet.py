@@ -82,7 +82,7 @@ def attention_plan(model) -> List[str]:
     op runs (fused Pallas kernel vs XLA), whether the MLP sublayer uses
     the fused kernel, and — under a data-parallel mesh — that kernels
     are shard_mapped over the data axis (kernel custom calls are not
-    GSPMD-partitioned; VERDICT r2 missing #1).
+    GSPMD-partitioned).
     """
     from ..ops import fused_mlp as fm
     from ..ops import fused_swin_block as fsb

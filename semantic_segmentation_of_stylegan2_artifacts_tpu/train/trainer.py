@@ -149,6 +149,79 @@ def validate(
             summary.mean_fpr, summary)
 
 
+# Kernel tiers in newest-first strip order (mirrors bench.py's fallback):
+# (model attribute, config knob it corresponds to).
+_KERNEL_TIERS = (
+    ("use_fused_block", "TPU.FUSED_BLOCK"),
+    ("use_fused_mlp", "TPU.FUSED_MLP"),
+    ("use_pallas", "TPU.USE_PALLAS_ATTENTION"),
+    ("fused_head", "TPU.FUSED_HEAD"),
+)
+
+
+def _tier_enabled(flag) -> bool:
+    # use_pallas may be a per-stage tuple; a non-empty all-False tuple is
+    # truthy, so test contents explicitly
+    if isinstance(flag, (tuple, list)):
+        return any(flag)
+    return bool(flag)
+
+
+def strip_newest_kernel(model):
+    """``(model', knob)`` with the newest enabled kernel tier disabled.
+
+    Returns ``None`` when the model is already on the plain XLA path
+    (nothing left to strip).
+    """
+    for attr, knob in _KERNEL_TIERS:
+        if _tier_enabled(getattr(model, attr, False)):
+            return model.clone(**{attr: False}), knob
+    return None
+
+
+def compile_step_with_fallback(model, build_steps, train_step, args, logger):
+    """AOT-compile the train step, degrading kernels if the compile fails.
+
+    Compile errors (Mosaic rejection, remote compile-helper SIGKILL —
+    docs/OPERATIONS.md) surface from ``lower().compile()`` before any
+    buffer is donated, so the caller's state stays valid.  Order: try as
+    configured, retry once (transients clear on retry, observed r2/r3),
+    then strip kernel tiers newest-first until a compile succeeds —
+    the bare XLA path has no Pallas custom calls left to reject.
+    Returns ``(model, train_step, eval_step, compiled)``; ``eval_step``
+    is rebuilt alongside so train and eval run the same kernel set.
+    """
+    last_exc = None
+    for attempt in (1, 2):
+        try:
+            return (model, train_step, build_steps(model)[1],
+                    train_step.lower(*args).compile())
+        except Exception as e:  # noqa: BLE001
+            last_exc = e
+            logger.warning(
+                f"train-step compile attempt {attempt} failed "
+                f"({type(e).__name__}: {e})"
+                + ("; retrying once" if attempt == 1 else "")
+            )
+    while True:
+        stripped = strip_newest_kernel(model)
+        if stripped is None:
+            raise last_exc
+        model, knob = stripped
+        logger.warning(
+            f"compile failure persists; disabling {knob} and rebuilding "
+            f"the step on the fallback path"
+        )
+        train_step, eval_step = build_steps(model)
+        try:
+            compiled = train_step.lower(*args).compile()
+        except Exception as e:  # noqa: BLE001
+            last_exc = e
+            continue
+        logger.warning(f"recovered with {knob} disabled")
+        return model, train_step, eval_step, compiled
+
+
 def trainer(
     model,
     logger,
@@ -288,13 +361,45 @@ def trainer(
 
         state = replicate_state(state, mesh)
     num_classes = int(config.MODEL.NUM_CLASSES)
-    train_step = make_train_step(
-        model, alpha, beta, mix,
-        accumulation_steps=max(1, int(config.TRAIN.ACCUMULATION_STEPS)),
-        num_classes=num_classes,
-    )
-    eval_step = make_eval_step(model, alpha, beta, mix,
-                               num_classes=num_classes, per_sample=True)
+
+    def build_steps(m):
+        return (
+            make_train_step(
+                m, alpha, beta, mix,
+                accumulation_steps=max(
+                    1, int(config.TRAIN.ACCUMULATION_STEPS)
+                ),
+                num_classes=num_classes,
+            ),
+            make_eval_step(m, alpha, beta, mix,
+                           num_classes=num_classes, per_sample=True),
+        )
+
+    train_step, eval_step = build_steps(model)
+
+    # -- compile-failure fallback (first step only) -------------------------
+    # The remote TPU compile helper can reject or SIGKILL large Pallas
+    # kernel bodies (docs/OPERATIONS.md); bench.py degrades to the XLA
+    # path when that happens, and the trainer must too, or a user
+    # training with the shipped config.yaml (FUSED_MLP on) would hit an
+    # unrecoverable compile failure.  The reference trains with its
+    # defaults unconditionally (reference train.py:100-122).  Strategy:
+    # AOT-compile the step on the first batch (compile errors surface
+    # before any buffer is donated), retry once for transients, then
+    # strip kernel tiers newest-first, rebuilding BOTH step functions so
+    # train and eval stay on the same path.
+    compiled_step = None
+
+    def run_step(state, image, label, lr_arr):
+        nonlocal compiled_step, model, train_step, eval_step
+        if compiled_step is None:
+            model, train_step, eval_step, compiled_step = (
+                compile_step_with_fallback(
+                    model, build_steps, train_step,
+                    (state, image, label, lr_arr), logger,
+                )
+            )
+        return compiled_step(state, image, label, lr_arr)
 
     schedule = CosineWarmupSchedule.from_config(config, base_lr)
 
@@ -360,7 +465,12 @@ def trainer(
             writer.add_scalar("info/total_loss", loss_f, iter_num)
 
     for epoch_num in range(start_epoch, max_epoch):
-        state, _ = maybe_unfreeze(state, epoch_num, unfreeze_in_next_epoch)
+        state, unfroze = maybe_unfreeze(state, epoch_num,
+                                        unfreeze_in_next_epoch)
+        if unfroze:
+            # the opt_state pytree structure changed: the AOT-compiled
+            # executable no longer matches; recompile on the next step
+            compiled_step = None
         unfreeze_in_next_epoch = False
 
         lr = schedule.lr_at_epoch(epoch_num)
@@ -373,7 +483,7 @@ def trainer(
         for image_dev, label_dev in _prefetch_to_device(
                 train_loader.epoch_batches_merged(epoch_num, n_dp),
                 place_batch, depth=device_prefetch):
-            state, loss = train_step(state, image_dev, label_dev, lr_arr)
+            state, loss = run_step(state, image_dev, label_dev, lr_arr)
             pending.append(loss)
             n_batches += 1
             if len(pending) > 1:

@@ -296,3 +296,116 @@ def test_trainer_resume_after_staged_unfreeze(synth_root, tmp_path):
     with open(os.path.join(out2, "val_metric_all_epoch.csv")) as f:
         rows = list(csv.reader(f))
     assert rows[1][0] == "3"  # resumed at epoch 2 (0-indexed) -> logs 3..4
+
+
+# ---------------------------------------------------------------------------
+# Compile-failure fallback: the trainer must degrade to the XLA path when
+# the configured kernel set cannot compile (remote compile-helper SIGKILL /
+# Mosaic rejection — VERDICT r3 task 3).
+# ---------------------------------------------------------------------------
+def _kernel_tiers_enabled(model):
+    import semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer as tr
+
+    return [attr for attr, _ in tr._KERNEL_TIERS
+            if tr._tier_enabled(getattr(model, attr, False))]
+
+
+class _UncompilableStep:
+    """Stands in for a jitted step whose TPU compile always fails."""
+
+    def lower(self, *args, **kwargs):
+        raise RuntimeError("forced Mosaic compile failure (test)")
+
+
+def test_strip_newest_kernel_order():
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        strip_newest_kernel,
+    )
+
+    m = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
+               num_heads=(2, 2, 2, 2), window_size=4,
+               use_pallas=True, use_fused_mlp=True, use_fused_block=True,
+               fused_head=True)
+    order = []
+    while True:
+        stripped = strip_newest_kernel(m)
+        if stripped is None:
+            break
+        m, knob = stripped
+        order.append(knob)
+    assert order == ["TPU.FUSED_BLOCK", "TPU.FUSED_MLP",
+                     "TPU.USE_PALLAS_ATTENTION", "TPU.FUSED_HEAD"]
+    assert _kernel_tiers_enabled(m) == []
+
+
+def test_trainer_compile_fallback_degrades_to_xla(
+        synth_root, tmp_path, monkeypatch, caplog):
+    """A model whose kernel path cannot compile still trains end-to-end.
+
+    make_train_step is monkeypatched to return an uncompilable step
+    whenever ANY kernel tier is enabled, simulating the remote compile
+    helper rejecting the Pallas custom calls; the trainer must strip
+    tiers newest-first, land on the plain XLA path, log the recovery,
+    and finish training (reference trains with its defaults
+    unconditionally, reference train.py:100-122).
+    """
+    import semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer as tr
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import MSUNet
+
+    real_make = tr.make_train_step
+
+    def make_or_fail(model, *args, **kwargs):
+        if _kernel_tiers_enabled(model):
+            return _UncompilableStep()
+        return real_make(model, *args, **kwargs)
+
+    monkeypatch.setattr(tr, "make_train_step", make_or_fail)
+
+    model = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
+                   num_heads=(2, 2, 2, 2), window_size=4,
+                   use_pallas=True, use_fused_mlp=True)
+    out_dir = str(tmp_path / "out_fb")
+    c = _base_config(synth_root, out_dir)
+    c.TRAIN.MAX_EPOCHS = 1
+    c.freeze()
+    logger = logging.getLogger("test_compile_fallback")
+    with caplog.at_level(logging.WARNING, logger=logger.name):
+        result = tr.trainer(model, logger, None, out_dir, c)
+    assert result == "Training Finished!"
+    text = caplog.text
+    assert "compile attempt 1 failed" in text
+    assert "disabling TPU.FUSED_MLP" in text
+    assert "disabling TPU.USE_PALLAS_ATTENTION" in text
+    assert "recovered with TPU.USE_PALLAS_ATTENTION disabled" in text
+    # training really ran on the fallback path
+    assert os.path.exists(os.path.join(out_dir, "val_metric_all_epoch.csv"))
+
+
+def test_compile_fallback_transient_retry(monkeypatch):
+    """A transient failure that clears on retry keeps the kernel set."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        compile_step_with_fallback,
+    )
+
+    calls = {"n": 0}
+
+    class _FlakyStep:
+        def lower(self, *args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient (test)")
+            class _L:
+                def compile(self):
+                    return "compiled"
+            return _L()
+
+    sentinel_model = object()
+    step = _FlakyStep()
+    model, tstep, estep, compiled = compile_step_with_fallback(
+        sentinel_model, lambda m: (step, "eval"), step, (),
+        logging.getLogger("test_transient"),
+    )
+    assert compiled == "compiled"
+    assert model is sentinel_model  # nothing stripped
+    assert calls["n"] == 2
