@@ -54,6 +54,26 @@ def _pallas_cfg(args):
                           patch=4, n_stages=4, window=7)
 
 
+def _dispatch_floor_ms(n: int = 50) -> float:
+    """Per-dispatch overhead of the backend, in ms.
+
+    Chains ``n`` trivial compiled steps and divides by ``n``: on a local
+    backend this is ~0.1 ms; over a healthy axon relay ~2-3 ms; a
+    degraded relay reads 5+ ms (r3 outage read ~5.5 ms, making step
+    timings ~1%% pessimistic at 512^2).  Recorded in the bench JSON so a
+    degraded-relay round is self-describing.
+    """
+    tick = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    x = tick(x)
+    float(x[0, 0])  # compile + sync
+    t0 = time.time()
+    for _ in range(n):
+        x = tick(x)
+    float(x[0, 0])
+    return (time.time() - t0) / n * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
@@ -244,6 +264,7 @@ def main():
     if flops_per_step is not None:
         result["mfu"] = round(flops_per_step * steps / dt / PEAK_BF16_FLOPS, 4)
         result["tflops_per_img"] = round(flops_per_step / batch / 1e12, 3)
+    result["dispatch_floor_ms"] = round(_dispatch_floor_ms(), 2)
     print(json.dumps(result))
 
 
