@@ -106,6 +106,10 @@ def main():
                     help="enable the whole-Swin-block Pallas kernel "
                          "(TPU.FUSED_BLOCK; supersedes the attention/MLP "
                          "kernels on dim<=512 blocks)")
+    ap.add_argument("--fused_patch", action="store_true",
+                    help="enable the fused PatchMerging/PatchExpand Pallas "
+                         "kernels (TPU.FUSED_PATCH: relayout+LN+Linear in "
+                         "one program)")
     ap.add_argument("--no_fused_head", action="store_true",
                     help="disable the Pallas fused GELU+depth-to-space head "
                          "kernel (TPU.FUSED_HEAD); only active in tanh-GELU "
@@ -165,6 +169,7 @@ def main():
                        fused_head=not args.no_fused_head,
                        use_fused_mlp=not args.no_fused_mlp,
                        use_fused_block=args.fused_block,
+                       use_fused_patch=args.fused_patch,
                        use_pallas=_pallas_cfg(args),
                        softmax_dtype=softmax_dtype)
         img_size = args.img
@@ -329,6 +334,8 @@ def _main_with_retry():
               f"retrying with the newest kernels disabled", file=sys.stderr)
     while "--fused_block" in sys.argv:
         sys.argv.remove("--fused_block")
+    while "--fused_patch" in sys.argv:
+        sys.argv.remove("--fused_patch")
     if "--no_fused_mlp" not in sys.argv:
         sys.argv.append("--no_fused_mlp")
     main()

@@ -252,10 +252,17 @@ def default_config() -> CfgNode:
     c.TPU.FUSED_BLOCK = False  # whole-Swin-block Pallas kernel (dim<=512;
     # supersedes FUSED_MLP/attention kernels on supported blocks; flip
     # after the r3 A/B on hardware)
+    c.TPU.FUSED_PATCH = False  # fused PatchMerging/PatchExpand Pallas
+    # kernels (relayout+LN+Linear in one program; merge dim<=512, expand
+    # dim<=1024); flip after the r4 A/B on hardware
     c.TPU.MESH_SHAPE = [0]  # [0] => all available devices on the 'data' axis
     c.TPU.SPATIAL_AXIS = ""  # mesh axis for token-grid H sharding ("" = off;
     # set to "space" with a make_mesh(n_space>1) mesh for spatial/sequence
     # parallelism — XLA SPMD inserts the halo collectives)
+    c.TPU.MODEL_AXIS = ""  # mesh axis the params are tensor-parallel-
+    # sharded over (parallel/tp.py); "" = replicated.  When set, Pallas
+    # kernels route to the XLA path (custom calls can't be GSPMD-
+    # partitioned and TP-sharded weights are no longer whole per device)
     c.TPU.REMAT = "auto"  # auto | none | full : rematerialisation policy
     c.TPU.PREFETCH_DEPTH = 2
     c.TPU.DEVICE_PREFETCH = 2  # device-side input double buffering: batches

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import fused_head, fused_mlp, fused_refine_head, \
+from ..ops import fused_head, fused_mlp, fused_patch, fused_refine_head, \
     fused_swin_block, fused_window_attention, patch_ops
 from ..ops.window_attention import (
     real_token_mask,
@@ -469,47 +469,77 @@ class PatchEmbed(nn.Module):
 class PatchMerging(nn.Module):
     """2×2 neighbor concat -> LN(4C) -> Linear(4C,2C,no-bias); halves H,W.
 
-    Reference: ``model_parts.py:59-97`` (norm *before* reduction).
+    Reference: ``model_parts.py:59-97`` (norm *before* reduction).  With
+    ``use_fused_patch`` the merge relayout + LN + Linear run as one
+    Pallas program (``ops/fused_patch.py``) when the shape qualifies.
     """
 
     dim: int
+    use_fused_patch: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # params live in holders (same ``norm/scale`` + ``reduction/
+        # kernel`` tree as the nn.LayerNorm/nn.Dense pair) so the fused
+        # path and the XLA path share one parameter layout
+        self.norm = LayerNormParams(4 * self.dim, dtype=self.dtype,
+                                    name="norm")
+        self.reduction = DenseParams(4 * self.dim, 2 * self.dim,
+                                     use_bias=False, name="reduction")
+
     def __call__(self, x: jax.Array) -> jax.Array:
+        kernel, _ = self.reduction()
+        if self.use_fused_patch and fused_patch.merge_supported(x.shape):
+            return fused_patch.fused_patch_merge(
+                x.astype(self.dtype), self.norm.scale, self.norm.bias,
+                kernel, data_mesh=self.data_mesh, data_axis=self.data_axis,
+            )
         x = patch_ops.merge_2x2(x)
-        x = layer_norm("norm", self.dtype)(x)
-        x = nn.Dense(
-            2 * self.dim,
-            use_bias=False,
-            kernel_init=trunc_normal_init,
-            dtype=self.dtype,
-            name="reduction",
-        )(x)
-        return x
+        x = self.norm(x)
+        nd = x.ndim - 1
+        return jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((nd,), (0,)), ((), ())),
+        )
 
 
 class PatchExpand(nn.Module):
     """Linear(C,2C,no-bias) -> 2×2 depth-to-space -> LN(C/2); doubles H,W.
 
-    Reference: ``model_parts.py:374-407``.
+    Reference: ``model_parts.py:374-407``.  With ``use_fused_patch`` the
+    Linear + depth-to-space relayout + LN run as one Pallas program
+    (``ops/fused_patch.py``) when the shape qualifies.
     """
 
     dim: int
+    use_fused_patch: bool = False
+    data_mesh: Optional[object] = None
+    data_axis: str = "data"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.expand = DenseParams(self.dim, 2 * self.dim,
+                                  use_bias=False, name="expand")
+        self.norm = LayerNormParams(self.dim // 2, dtype=self.dtype,
+                                    name="norm")
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(
-            2 * self.dim,
-            use_bias=False,
-            kernel_init=trunc_normal_init,
-            dtype=self.dtype,
-            name="expand",
-        )(x)
+        kernel, _ = self.expand()
+        if self.use_fused_patch and fused_patch.expand_supported(x.shape):
+            return fused_patch.fused_patch_expand(
+                x.astype(self.dtype), kernel, self.norm.scale,
+                self.norm.bias,
+                data_mesh=self.data_mesh, data_axis=self.data_axis,
+            )
+        nd = x.ndim - 1
+        x = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((nd,), (0,)), ((), ())),
+        )
         x = patch_ops.depth_to_space(x, 2)
-        x = layer_norm("norm", self.dtype)(x)
-        return x
+        return self.norm(x)
 
 
 class ConvParams(nn.Module):
@@ -693,6 +723,7 @@ class BasicLayer(nn.Module):
     use_pallas: bool = False
     use_fused_mlp: bool = False
     use_fused_block: bool = False
+    use_fused_patch: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -731,7 +762,9 @@ class BasicLayer(nn.Module):
         ]
         if self.downsample:
             self.downsample_layer = PatchMerging(
-                dim=self.dim, dtype=self.dtype, name="downsample"
+                dim=self.dim, use_fused_patch=self.use_fused_patch,
+                data_mesh=self.data_mesh, data_axis=self.data_axis,
+                dtype=self.dtype, name="downsample"
             )
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -764,6 +797,7 @@ class BasicLayerUp(nn.Module):
     use_pallas: bool = False
     use_fused_mlp: bool = False
     use_fused_block: bool = False
+    use_fused_patch: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -802,7 +836,9 @@ class BasicLayerUp(nn.Module):
         ]
         if self.upsample:
             self.upsample_layer = PatchExpand(
-                dim=self.dim, dtype=self.dtype, name="upsample"
+                dim=self.dim, use_fused_patch=self.use_fused_patch,
+                data_mesh=self.data_mesh, data_axis=self.data_axis,
+                dtype=self.dtype, name="upsample"
             )
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

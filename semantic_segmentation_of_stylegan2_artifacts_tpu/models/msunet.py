@@ -105,13 +105,14 @@ def attention_plan(model) -> List[str]:
             return " (interpret)"
         return ""
 
+    sharded = bool(model.spatial_axis or getattr(model, "model_axis", ""))
     for i in range(n_stages):
         shape = (1, grids[i], grids[i], dims[i])
         hidden = int(dims[i] * model.mlp_ratio)
         if (
             model.use_fused_block
             and model.qkv_bias
-            and not model.spatial_axis
+            and not sharded
             and fsb.supported(shape, window, model.num_heads[i], hidden)
         ):
             lines.append(
@@ -125,19 +126,21 @@ def attention_plan(model) -> List[str]:
             flag = bool(flag[i])
         active = (
             bool(flag)
-            and not model.spatial_axis
+            and not sharded
             and fwa.supported(shape, window, model.num_heads[i])
         )
         if active:
             path = "pallas-kernel" + _dp_suffix(fwa.INTERPRET)
         else:
             reason = ("spatial sharding" if model.spatial_axis
+                      else "tensor parallel"
+                      if getattr(model, "model_axis", "")
                       else "unsupported shape/backend" if flag
                       else "disabled")
             path = f"xla ({reason})"
         if (
             model.use_fused_mlp
-            and not model.spatial_axis
+            and not sharded
             and fm.supported(shape, hidden)
         ):
             path += ", fused-mlp"
@@ -175,6 +178,7 @@ class MSUNetSys(nn.Module):
     use_pallas: Union[bool, Tuple[bool, ...]] = False
     use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
     use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
+    use_fused_patch: bool = False  # fused merge/expand relayout kernels
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
@@ -185,6 +189,13 @@ class MSUNetSys(nn.Module):
     # Pallas kernels are bypassed in this mode (custom calls aren't
     # auto-partitioned).
     spatial_axis: str = ""
+    # mesh axis name the PARAMETERS are tensor-parallel-sharded over
+    # (parallel/tp.py's Megatron placements); "" = params replicated.
+    # When set, Pallas kernels are bypassed for the same reason as
+    # spatial sharding: the kernels are custom calls GSPMD cannot
+    # partition, and their weights are no longer whole per device —
+    # the XLA path lets GSPMD insert the TP collectives instead.
+    model_axis: str = ""
     # mesh for data-parallel training: Pallas kernels run per-shard under
     # shard_map over `data_axis` (custom calls are not GSPMD-partitioned);
     # set by the trainer via model.clone(data_mesh=mesh) when N_GPU > 1
@@ -198,7 +209,7 @@ class MSUNetSys(nn.Module):
 
     def _stage_pallas(self, dim: int) -> bool:
         """Fused-attention choice for the stage owning ``dim``."""
-        if not self.use_pallas or self.spatial_axis:
+        if not self.use_pallas or self.spatial_axis or self.model_axis:
             return False
         if isinstance(self.use_pallas, (tuple, list)):
             i = (dim // self.embed_dim).bit_length() - 1
@@ -218,10 +229,13 @@ class MSUNetSys(nn.Module):
         nl = len(self.depths)  # num layers (4)
         dims = [self.embed_dim * 2**i for i in range(nl)]
         dpr = _dpr(self.drop_path_rate, self.depths)
+        sharded = bool(self.spatial_axis or self.model_axis)
+        fused_patch_on = self.use_fused_patch and not sharded
         common = dict(
             window_size=self.window_size,
-            use_fused_mlp=self.use_fused_mlp and not self.spatial_axis,
-            use_fused_block=self.use_fused_block and not self.spatial_axis,
+            use_fused_mlp=self.use_fused_mlp and not sharded,
+            use_fused_block=self.use_fused_block and not sharded,
+            use_fused_patch=fused_patch_on,
             data_mesh=self.data_mesh,
             data_axis=self.data_axis,
             mlp_ratio=self.mlp_ratio,
@@ -277,7 +291,9 @@ class MSUNetSys(nn.Module):
 
         # ---- main decoder ------------------------------------------------
         layers_up: list = [
-            PatchExpand(dim=dims[nl - 1], dtype=self.dtype, name="layers_up_0")
+            PatchExpand(dim=dims[nl - 1], use_fused_patch=fused_patch_on,
+                        data_mesh=self.data_mesh, data_axis=self.data_axis,
+                        dtype=self.dtype, name="layers_up_0")
         ]
         for i in range(1, nl):
             s = nl - 1 - i  # mirrored encoder stage
@@ -300,7 +316,9 @@ class MSUNetSys(nn.Module):
         # stages: PatchExpand(512@64²), BL_up(256@128², upsample),
         #         BL_up(128@256², no upsample)
         cent1: list = [
-            PatchExpand(dim=dims[nl - 2], dtype=self.dtype, name="layers_cent1_0")
+            PatchExpand(dim=dims[nl - 2], use_fused_patch=fused_patch_on,
+                        data_mesh=self.data_mesh, data_axis=self.data_axis,
+                        dtype=self.dtype, name="layers_cent1_0")
         ]
         for i in range(1, nl - 1):
             s = nl - 2 - i
@@ -322,7 +340,9 @@ class MSUNetSys(nn.Module):
         # ---- cent decoder 2 (fires at encoder stage 1) -------------------
         # stages: PatchExpand(256@128²), BL_up(128@256², no upsample)
         cent2: list = [
-            PatchExpand(dim=dims[nl - 3], dtype=self.dtype, name="layers_cent2_0")
+            PatchExpand(dim=dims[nl - 3], use_fused_patch=fused_patch_on,
+                        data_mesh=self.data_mesh, data_axis=self.data_axis,
+                        dtype=self.dtype, name="layers_cent2_0")
         ]
         for i in range(1, nl - 2):
             s = nl - 3 - i
@@ -347,7 +367,8 @@ class MSUNetSys(nn.Module):
             dim=self.embed_dim, gelu_tanh=self.gelu_tanh,
             # spatial sharding bypasses ALL Pallas kernels (custom calls
             # aren't auto-partitioned), the head one included
-            fused_head=self.fused_head and not self.spatial_axis,
+            fused_head=self.fused_head and not (self.spatial_axis
+                                                or self.model_axis),
             data_mesh=self.data_mesh, data_axis=self.data_axis,
             dtype=self.dtype, name="up",
         )
@@ -453,11 +474,13 @@ class MSUNet(nn.Module):
     use_pallas: Union[bool, Tuple[bool, ...]] = False
     use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
     use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
+    use_fused_patch: bool = False  # fused merge/expand relayout kernels
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
     gelu_tanh: bool = False  # tanh GELU (fast) vs exact erf (reference parity)
     fused_head: bool = False  # Pallas fused GELU+depth-to-space in up_x4
     spatial_axis: str = ""  # mesh axis for token-grid H sharding ("" = off)
+    model_axis: str = ""  # mesh axis params are TP-sharded over ("" = off)
     data_mesh: Optional[object] = None  # DP mesh for per-shard Pallas kernels
     data_axis: str = "data"
     softmax_dtype: jnp.dtype = jnp.float32
@@ -526,7 +549,9 @@ class MSUNet(nn.Module):
             fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
             use_fused_mlp=bool(getattr(config.TPU, "FUSED_MLP", False)),
             use_fused_block=bool(getattr(config.TPU, "FUSED_BLOCK", False)),
+            use_fused_patch=bool(getattr(config.TPU, "FUSED_PATCH", False)),
             spatial_axis=str(getattr(config.TPU, "SPATIAL_AXIS", "")),
+            model_axis=str(getattr(config.TPU, "MODEL_AXIS", "")),
             softmax_dtype=(jnp.bfloat16
                            if str(config.TPU.SOFTMAX_DTYPE) == "bfloat16"
                            else jnp.float32),
@@ -555,11 +580,13 @@ class MSUNet(nn.Module):
             use_pallas=self.use_pallas,
             use_fused_mlp=self.use_fused_mlp,
             use_fused_block=self.use_fused_block,
+            use_fused_patch=self.use_fused_patch,
             window_group=self.window_group,
             hold_layout=self.hold_layout,
             gelu_tanh=self.gelu_tanh,
             fused_head=self.fused_head,
             spatial_axis=self.spatial_axis,
+            model_axis=self.model_axis,
             data_mesh=self.data_mesh,
             data_axis=self.data_axis,
             softmax_dtype=self.softmax_dtype,

@@ -152,6 +152,7 @@ def validate(
 # Kernel tiers in newest-first strip order (mirrors bench.py's fallback):
 # (model attribute, config knob it corresponds to).
 _KERNEL_TIERS = (
+    ("use_fused_patch", "TPU.FUSED_PATCH"),
     ("use_fused_block", "TPU.FUSED_BLOCK"),
     ("use_fused_mlp", "TPU.FUSED_MLP"),
     ("use_pallas", "TPU.USE_PALLAS_ATTENTION"),
