@@ -17,6 +17,12 @@ The batch stays sharded on ``data``.  This is a stretch capability beyond
 the reference (whose only strategy was DataParallel); the MS-UNet's
 matmuls are modest, so TP mainly buys activation-memory headroom at
 1024², not throughput.
+
+When TP-sharding a model that has Pallas kernels enabled, set
+``model.clone(model_axis="model")``: the kernels are custom calls GSPMD
+cannot partition and their weights are no longer whole per device, so
+the model must route those blocks to the XLA path (mirrors the
+``spatial_axis`` bypass; see ``MSUNetSys.model_axis``).
 """
 
 from __future__ import annotations

@@ -433,3 +433,39 @@ def test_resume_checkpoint_onto_mesh(tiny, tmp_path):
     b = jax.tree.leaves(s_mesh.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(jax.device_get(b)),
                                atol=1e-5)
+
+
+def test_dp_tp_with_kernels_requested_gates_to_xla(tiny):
+    """Kernels requested + TP sharding: the model_axis gate must route
+    every Pallas block to the XLA path (custom calls can't be GSPMD-
+    partitioned; TP weights are not whole per device), and the dp x tp
+    step must still match the single-device step (VERDICT r3 task 6)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.msunet import (
+        attention_plan,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.parallel import (
+        shard_state_tp,
+    )
+
+    model, c, state = tiny
+    k_model = model.clone(use_pallas=True, use_fused_mlp=True,
+                          use_fused_block=True, fused_head=True,
+                          model_axis="model")
+    lines = attention_plan(k_model)
+    assert all("xla (tensor parallel)" in ln for ln in lines), lines
+
+    base_step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
+    gated_step = make_train_step(k_model, 0.2, 0.8, 0.45, donate=False)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(8, 32, 32) > 0.8).astype(np.uint8)
+
+    _, loss1 = base_step(state, jnp.asarray(img), jnp.asarray(lbl),
+                         jnp.asarray(1e-3))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = shard_state_tp(state, mesh)
+    batch = shard_batch({"image": img, "label": lbl}, mesh)
+    _, loss2 = gated_step(state_tp, batch["image"], batch["label"],
+                          jnp.asarray(1e-3))
+    assert abs(float(loss1) - float(loss2)) < 1e-5
