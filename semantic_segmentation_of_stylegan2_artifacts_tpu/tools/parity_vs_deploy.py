@@ -7,10 +7,17 @@ and prints the final-epoch validation metric rows plus their deltas
 (the measured table lives in PARITY.md).  Matches the reference's
 fp16-AMP training-parity intent (/root/reference/trainer.py:182,308).
 
+The deploy side takes the r4 kernel set too: ``--fused_mlp`` (on by
+default, the shipped config), ``--fused_block`` / ``--fused_patch``
+(pass the A/B winners), and ``--img/--epochs`` scale the run to the
+deployment resolution (VERDICT r3 task 7: 512², >=15 epochs).
+
 Usage::
 
-    python -m semantic_segmentation_of_stylegan2_artifacts_tpu.tools.parity_vs_deploy
+    python -m semantic_segmentation_of_stylegan2_artifacts_tpu.tools.parity_vs_deploy \
+        --img 512 --epochs 15 [--fused_block] [--fused_patch]
 """
+import argparse
 import csv
 import logging
 import os
@@ -35,11 +42,9 @@ from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
     trainer,
 )
 
-IMG = 224
-EPOCHS = 8
-
-
-def run_one(tag: str, root: str, out_base: str, deploy: bool) -> dict:
+def run_one(tag: str, root: str, out_base: str, deploy: bool,
+            args) -> dict:
+    IMG, EPOCHS = args.img, args.epochs
     c = default_config()
     c.defrost()
     c.DATA.DATA_PATH = root
@@ -58,6 +63,9 @@ def run_one(tag: str, root: str, out_base: str, deploy: bool) -> dict:
     c.TPU.SOFTMAX_DTYPE = "bfloat16" if deploy else "float32"
     c.TPU.USE_PALLAS_ATTENTION = deploy
     c.TPU.USE_PALLAS_HEAD = deploy
+    c.TPU.FUSED_MLP = deploy and args.fused_mlp
+    c.TPU.FUSED_BLOCK = deploy and args.fused_block
+    c.TPU.FUSED_PATCH = deploy and args.fused_patch
     c.freeze()
 
     import jax.numpy as jnp
@@ -65,6 +73,9 @@ def run_one(tag: str, root: str, out_base: str, deploy: bool) -> dict:
                    num_heads=(4, 8, 16, 32), window_size=7,
                    gelu_tanh=deploy,
                    use_pallas=deploy, fused_head=deploy,
+                   use_fused_mlp=deploy and args.fused_mlp,
+                   use_fused_block=deploy and args.fused_block,
+                   use_fused_patch=deploy and args.fused_patch,
                    softmax_dtype=jnp.bfloat16 if deploy else jnp.float32)
     out_dir = os.path.join(out_base, tag)
     logger = logging.getLogger(tag)
@@ -81,13 +92,21 @@ def run_one(tag: str, root: str, out_base: str, deploy: bool) -> dict:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--fused_mlp", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--fused_block", action="store_true")
+    ap.add_argument("--fused_patch", action="store_true")
+    args = ap.parse_args()
     out_base = tempfile.mkdtemp(prefix="parity_deploy_")
     root = os.path.join(out_base, "data")
-    generate_synthetic_dataset(root, img_size=IMG, n_fake_train=12,
+    generate_synthetic_dataset(root, img_size=args.img, n_fake_train=12,
                                n_real_train=8, n_val_fake=4, n_val_real=2)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
-    a = run_one("parity", root, out_base, deploy=False)
-    b = run_one("deploy", root, out_base, deploy=True)
+    a = run_one("parity", root, out_base, deploy=False, args=args)
+    b = run_one("deploy", root, out_base, deploy=True, args=args)
     print("\n== deltas (deploy - parity) ==")
     for k in a:
         try:

@@ -56,4 +56,12 @@ run 21_1024_block 3000 python bench.py --img 1024 --batch 2 --fused_block
 run 22_1024_patch 3000 python bench.py --img 1024 --batch 2 --fused_patch
 run 23_1024_blockpatch 3000 python bench.py --img 1024 --batch 2 --fused_block --fused_patch
 
+# 5. deployment-vs-parity numerics at the deployment resolution
+#    (VERDICT r3 task 7; pass the winning kernel set by editing FLAGS
+#    after reading 10-14; default = shipped config)
+PARITY_FLAGS="${PARITY_FLAGS:-}"
+run 30_parity_deploy 10800 python -m \
+  semantic_segmentation_of_stylegan2_artifacts_tpu.tools.parity_vs_deploy \
+  --img 512 --epochs 15 $PARITY_FLAGS
+
 echo "=== campaign done $(date -u +%H:%M:%S) ===" | tee -a "$OUT/summary.log"
