@@ -148,6 +148,25 @@ def attention_plan(model) -> List[str]:
             f"attention stage {i}: grid {grids[i]}x{grids[i]} c{dims[i]} "
             f"-> {path}"
         )
+    if getattr(model, "use_fused_patch", False):
+        from ..ops import fused_patch as fpa
+
+        if sharded:
+            lines.append("patch merge/expand: xla (sharded)")
+        else:
+            m_ok = [c for g, c in zip(grids[:-1], dims[:-1])
+                    if fpa.merge_supported((1, g, g, c))]
+            e_ok = [c for g, c in zip(grids[1:], dims[1:])
+                    if fpa.expand_supported((1, g, g, c))]
+            if m_ok or e_ok:
+                lines.append(
+                    f"patch merge/expand: fused-patch kernel (merge c"
+                    f"{m_ok}, expand c{e_ok})"
+                    f"{_dp_suffix(fpa.INTERPRET)}"
+                )
+            else:
+                lines.append(
+                    "patch merge/expand: xla (unsupported shape/backend)")
     return lines
 
 
