@@ -256,3 +256,74 @@ def test_full_model_routing_parity():
     b = jax.jit(lambda p, v: m_k.apply(p, v, True))(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_remat_stage_with_fused_patch():
+    """1024²-style remat wrapping must compose with the patch-kernel
+    custom_vjp (the PatchMerging sits inside the remat-wrapped stage)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.layers \
+        import BasicLayer
+
+    kw = dict(dim=128, depth=1, num_heads=4, window_size=4,
+              downsample=True)
+    st_x = BasicLayer(use_remat=True, **kw)
+    st_f = BasicLayer(use_remat=True, use_fused_patch=True, **kw)
+    x = (jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 128)) * 0.5)
+    params = jax.jit(st_x.init)(jax.random.PRNGKey(0), x)
+
+    def loss(blk):
+        def f(p, xx):
+            out = blk.apply(p, xx)
+            return jnp.sum(out * out)
+        return f
+
+    vx, gx = jax.value_and_grad(loss(st_x))(params, x)
+    vf, gf = jax.value_and_grad(loss(st_f))(params, x)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5)
+    for (k_, w), (_, g) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(k_))
+
+
+def test_train_step_with_fused_patch():
+    """Full jitted train step (loss+bwd+AdamW) with FUSED_PATCH on must
+    match the XLA-path step on the same state (real widths)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
+        default_config,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models import (
+        MSUNet,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train import (
+        create_train_state,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.state import (
+        make_train_step,
+    )
+
+    common = dict(img_size=32, embed_dim=128, depths=(1, 1, 1, 1),
+                  num_heads=(2, 2, 4, 4), window_size=7,
+                  drop_path_rate=0.0, dtype=jnp.float32)
+    m_x = MSUNet(**common)
+    m_k = MSUNet(use_fused_patch=True, **common)
+    config = default_config()
+    config.defrost()
+    config.DATA.IMG_SIZE = 32
+    config.MODEL.FREEZE_ENCODER = False
+    config.freeze()
+    state = create_train_state(m_x, config, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (2, 32, 32, 3), np.uint8)
+    lbl = (rng.rand(2, 32, 32) > 0.8).astype(np.uint8)
+    s_x = make_train_step(m_x, 0.2, 0.8, 0.45, donate=False)
+    s_k = make_train_step(m_k, 0.2, 0.8, 0.45, donate=False)
+    _, l_x = s_x(state, jnp.asarray(img), jnp.asarray(lbl),
+                 jnp.asarray(1e-3))
+    _, l_k = s_k(state, jnp.asarray(img), jnp.asarray(lbl),
+                 jnp.asarray(1e-3))
+    assert abs(float(l_x) - float(l_k)) < 1e-5, (float(l_x), float(l_k))
