@@ -49,12 +49,18 @@ run 11_step_block    2400 python bench.py --img 512 --batch 8 --fused_block
 run 12_step_patch    2400 python bench.py --img 512 --batch 8 --fused_patch
 run 13_step_blockpatch 2400 python bench.py --img 512 --batch 8 --fused_block --fused_patch
 run 14_step_block_nomlp 2400 python bench.py --img 512 --batch 8 --fused_block --no_fused_mlp
+# batch 16 fits on the kernel path (r2: 26.2); the block/patch kernels
+# shrink activations further — HBM-bound steps often prefer the bigger batch
+run 15_step_blockpatch_b16 2400 python bench.py --img 512 --batch 16 --fused_block --fused_patch
 
 # 4. 1024² batch 2 (the reference's literal workload; r2 best 5.35)
 run 20_1024_base  3000 python bench.py --img 1024 --batch 2
 run 21_1024_block 3000 python bench.py --img 1024 --batch 2 --fused_block
 run 22_1024_patch 3000 python bench.py --img 1024 --batch 2 --fused_patch
 run 23_1024_blockpatch 3000 python bench.py --img 1024 --batch 2 --fused_block --fused_patch
+run 24_1024_blockpatch_hr 3000 python bench.py --img 1024 --batch 2 --fused_block --fused_patch --remat_mode high_res
+# batch 4 OOM'd every r2 config; the block+patch kernels may change that
+run 25_1024_b4_blockpatch 3000 python bench.py --img 1024 --batch 4 --fused_block --fused_patch
 
 # 5. deployment-vs-parity numerics at the deployment resolution
 #    (VERDICT r3 task 7; pass the winning kernel set by editing FLAGS
