@@ -312,15 +312,22 @@ def _expand_bwd_kernel(
     z4 = z.reshape(tr, w_dim, 4, c2).astype(jnp.float32)
     xhat, rsig = _ln_stats(z4)
 
+    # per-group LN backward, reassembled with a last-axis concat in the
+    # (p1 p2 c) channel order (no middle-axis stack — Mosaic-friendly)
     dy = dy_ref[...]
-    dn = jnp.stack(
-        (dy[:, 0, :, 0, :], dy[:, 0, :, 1, :],
-         dy[:, 1, :, 0, :], dy[:, 1, :, 1, :]),
-        axis=2,
-    ).astype(jnp.float32)  # (TR, W, 4, C/2)
-    dsc_ref[...] += jnp.sum(dn * xhat, axis=(0, 1, 2))[None]
-    dlb_ref[...] += jnp.sum(dn, axis=(0, 1, 2))[None]
-    dz = _ln_bwd(dn, xhat, rsig, scale).astype(x2.dtype)
+    dsc = jnp.zeros((1, c2), jnp.float32)
+    dlb = jnp.zeros((1, c2), jnp.float32)
+    dz_groups = []
+    for g, (p1, p2) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        dn_g = dy[:, p1, :, p2, :].astype(jnp.float32)  # (TR, W, C/2)
+        xhat_g = xhat[:, :, g, :]
+        dsc += jnp.sum(dn_g * xhat_g, axis=(0, 1))[None]
+        dlb += jnp.sum(dn_g, axis=(0, 1))[None]
+        dz_groups.append(
+            _ln_bwd(dn_g, xhat_g, rsig[:, :, g, :], scale))
+    dsc_ref[...] += dsc
+    dlb_ref[...] += dlb
+    dz = jnp.concatenate(dz_groups, axis=-1).astype(x2.dtype)
     dz = dz.reshape(tr * w_dim, 2 * c)
     dw_ref[...] += _mm(x2, dz, (((0,), (0,))))
     dx = _mm(dz, w_ref[...], (((1,), (1,))), x2.dtype)
