@@ -62,6 +62,13 @@ run 24_1024_blockpatch_hr 3000 python bench.py --img 1024 --batch 2 --fused_bloc
 # batch 4 OOM'd every r2 config; the block+patch kernels may change that
 run 25_1024_b4_blockpatch 3000 python bench.py --img 1024 --batch 4 --fused_block --fused_patch
 
+# 4b. op-level evidence for the 1024^2 floor-or-improvement decision
+#     (VERDICT r3 task 4: the dead-end entry must be argued from r4 data)
+run 26_1024_breakdown 3600 python -m \
+  semantic_segmentation_of_stylegan2_artifacts_tpu.tools.hlo_breakdown \
+  --img 1024 --batch 2 --fused_block --fused_patch --top 50 \
+  --save /tmp/r4/hlo_1024.txt
+
 # 5. deployment-vs-parity numerics at the deployment resolution
 #    (VERDICT r3 task 7; pass the winning kernel set by editing FLAGS
 #    after reading 10-14; default = shipped config)
