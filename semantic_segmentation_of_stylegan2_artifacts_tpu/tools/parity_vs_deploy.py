@@ -26,9 +26,11 @@ import sys
 import tempfile
 
 from semantic_segmentation_of_stylegan2_artifacts_tpu.utils.platform import (
+    apply_platform_override,
     enable_compilation_cache,
 )
 
+apply_platform_override()  # honor SSA_TPU_PLATFORM=cpu (CPU smoke runs)
 enable_compilation_cache()
 
 from semantic_segmentation_of_stylegan2_artifacts_tpu.core.config import (
