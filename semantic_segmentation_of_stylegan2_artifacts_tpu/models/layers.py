@@ -126,11 +126,13 @@ class StochasticDepth(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
         if deterministic or self.rate == 0.0:
             return x
-        keep = 1.0 - self.rate
+        # float(): an np.float64 rate would un-weak-type keep and promote
+        # the bf16 residual stream to f32 for the rest of the network
+        keep = 1.0 - float(self.rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         noise = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
-        return x * noise / keep
+        return (x * noise / keep).astype(x.dtype)
 
     def factors(
         self, batch: int, deterministic: bool, dtype: jnp.dtype
@@ -143,7 +145,7 @@ class StochasticDepth(nn.Module):
         XLA path's low-precision arithmetic to 1 ulp)."""
         if deterministic or self.rate == 0.0:
             return jnp.ones((batch,), jnp.float32)
-        keep = 1.0 - self.rate
+        keep = 1.0 - float(self.rate)
         rng = self.make_rng("dropout")
         noise = jax.random.bernoulli(rng, keep, (batch, 1, 1, 1))
         return (noise.astype(dtype) / keep).reshape(batch).astype(jnp.float32)
@@ -424,6 +426,7 @@ class SwinBlock(nn.Module):
         if self.use_fused_mlp and fused_mlp.supported(
             x.shape, hidden,
             dropout=self.dropout, deterministic=deterministic,
+            dtype=x.dtype,
         ):
             k1, b1, k2, b2 = self.mlp.fused_params()
             y = fused_mlp.fused_mlp(

@@ -44,9 +44,15 @@ from .layers import (
 
 
 def _dpr(drop_path_rate: float, depths: Sequence[int]) -> List[float]:
-    """Linear stochastic-depth decay over all encoder blocks."""
+    """Linear stochastic-depth decay over all encoder blocks.
+
+    Python floats, NOT np.float64 scalars: a NumPy scalar is not weak-
+    typed under JAX promotion, so ``x * noise / np.float64(keep)`` in
+    StochasticDepth promoted the bf16 residual stream — and with it every
+    downstream block of the training step — to f32 (caught on hardware in
+    r4: an f32[8192,512] fused-MLP backward OOM'd scoped VMEM)."""
     total = sum(depths)
-    return list(np.linspace(0.0, drop_path_rate, total))
+    return [float(r) for r in np.linspace(0.0, drop_path_rate, total)]
 
 
 def _stage_slice(dpr: List[float], depths: Sequence[int], stage: int) -> List[float]:

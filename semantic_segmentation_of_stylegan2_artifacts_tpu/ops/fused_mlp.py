@@ -279,6 +279,7 @@ def supported(
     *,
     dropout: float = 0.0,
     deterministic: bool = True,
+    dtype=None,
 ) -> bool:
     """Kernel applicability for a ``(..., C)`` input."""
     if not deterministic and dropout > 0.0:
@@ -286,7 +287,12 @@ def supported(
     c = x_shape[-1]
     if c % 128 or hidden_dim % 128:
         return False  # lane alignment
-    if c > _DIM_CAP or hidden_dim > 4 * _DIM_CAP:
+    # the VMEM budget is sized for bf16 weights; an f32 model (parity
+    # mode) doubles them and the C=512 backward exceeds the 16 MB scoped
+    # limit (measured on hardware, r4) — halve the cap
+    cap = _DIM_CAP // 2 if (dtype is not None
+                            and jnp.dtype(dtype).itemsize >= 4) else _DIM_CAP
+    if c > cap or hidden_dim > 4 * cap:
         return False  # weights must stay VMEM-resident
     if INTERPRET:
         return True

@@ -13,16 +13,23 @@ traffic and additionally saves the merged/expanded intermediates.
 These kernels do the relayout *in VMEM* between the residual-stream
 reads/writes:
 
-* ``fused_patch_merge``: read ``(B,H,W,C)`` once (as a free 5D reshape
-  ``(B·H/2, 2, W/2, 2, C)`` — splitting contiguous dims moves no data),
-  build the ``[x0|x1|x2|x3]`` 4C concat, LayerNorm (f32 stats), matmul
+* ``fused_patch_merge``: read ``(B,H,W,C)`` once (as a free 4D reshape
+  ``(B·H/2, 2, W/2, 2C)`` — splitting contiguous dims moves no data; the
+  column pair rides the lane axis), build the ``[x0|x1|x2|x3]`` 4C
+  concat from 128-aligned lane slices, LayerNorm (f32 stats), matmul
   with the VMEM-resident ``reduction`` weight, write ``(B·H/2, W/2, 2C)``
   once.  The Swin-UNet channel order matches ``ops/patch_ops.merge_2x2``.
 * ``fused_patch_expand``: read ``(B·H, W, C)`` once, matmul with the
   VMEM-resident ``expand`` weight, split channels ``(p1 p2 c)``
   (einops order, ``patch_ops.depth_to_space``), LayerNorm each C/2
-  group, scatter the four groups into an ``(B·H, 2, W, 2, C/2)`` output
-  whose reshape to ``(B, 2H, 2W, C/2)`` is again free.
+  group, concat the four groups into an ``(B·H, 2, W, C)`` output whose
+  reshape to ``(B, 2H, 2W, C/2)`` is again free.
+
+All refs are rank <= 4 and every interleave is a lane-axis slice/concat
+at 128-aligned offsets: the original rank-5 layout (row/column pairs as
+their own size-2 axes, scatter stores like ``o_ref[:, 0, :, 0, :]``)
+lowered fine but crashed the Mosaic binary compiler on hardware
+(tpu_compile_helper exit 1 at every shape, r4 triage 05:07).
 
 Both backwards are flash-style: only ``x`` is saved (the residual/skip
 stream keeps it alive anyway); LN stats are recomputed per tile and the
@@ -125,26 +132,32 @@ def _row_spec(shape):
 
 
 # ---------------------------------------------------------------------------
-# PatchMerging: x5 (R, 2, W2, 2, C) -> out (R, W2, 2C)
+# PatchMerging: x4 (R, 2, W2, 2C) -> out (R, W2, 2C)
+#
+# The input rides as rank-4 with the column-pair fused into the lane dim
+# ((B,H,W,C) -> (B·H/2, 2, W/2, 2C) is a free reshape): rank-5 refs with
+# strided middle-axis scatter stores crashed the Mosaic binary compiler
+# in the r4 hardware triage (tpu_compile_helper exit 1 at every shape),
+# while every hardware-proven kernel in this suite uses <=4D refs whose
+# interleaving is lane-dim slicing at 128-aligned offsets (C % 128 == 0
+# is gated by merge_supported/expand_supported).
 # ---------------------------------------------------------------------------
 
 
-def _merged_4c(x5_blk):
-    """(TR, 2, W2, 2, C) -> (TR*W2, 4C) in merge_2x2 channel order."""
-    parts = (
-        x5_blk[:, 0, :, 0, :],  # x0 = (0::2, 0::2)
-        x5_blk[:, 1, :, 0, :],  # x1 = (1::2, 0::2)
-        x5_blk[:, 0, :, 1, :],  # x2 = (0::2, 1::2)
-        x5_blk[:, 1, :, 1, :],  # x3 = (1::2, 1::2)
-    )
-    m = jnp.concatenate(parts, axis=-1)  # (TR, W2, 4C)
+def _merged_4c(x4_blk, c):
+    """(TR, 2, W2, 2C) -> (TR*W2, 4C) in merge_2x2 channel order."""
+    r02 = x4_blk[:, 0]  # (TR, W2, 2C): [x0 | x2] along lanes
+    r13 = x4_blk[:, 1]  # (TR, W2, 2C): [x1 | x3]
+    m = jnp.concatenate(
+        (r02[..., :c], r13[..., :c], r02[..., c:], r13[..., c:]), axis=-1
+    )  # (TR, W2, 4C)
     tr, w2, c4 = m.shape
     return m.reshape(tr * w2, c4)
 
 
-def _merge_fwd_kernel(x5_ref, sc_ref, lb_ref, w_ref, o_ref):
+def _merge_fwd_kernel(x4_ref, sc_ref, lb_ref, w_ref, o_ref):
     tr, w2, c2 = o_ref.shape
-    m = _merged_4c(x5_ref[...])
+    m = _merged_4c(x4_ref[...], c2 // 2)
     xhat, _ = _ln_stats(m.astype(jnp.float32))
     n = (xhat * sc_ref[0][None] + lb_ref[0][None]).astype(m.dtype)
     y = _mm(n, w_ref[...], (((1,), (0,))), m.dtype)
@@ -152,12 +165,12 @@ def _merge_fwd_kernel(x5_ref, sc_ref, lb_ref, w_ref, o_ref):
 
 
 def _merge_bwd_kernel(
-    x5_ref,    # (TR, 2, W2, 2, C)
+    x4_ref,    # (TR, 2, W2, 2C)
     dy_ref,    # (TR, W2, 2C)
     sc_ref,    # (1, 4C) f32
     lb_ref,    # (1, 4C) f32
     w_ref,     # (4C, 2C)
-    dx5_ref,   # (TR, 2, W2, 2, C)
+    dx4_ref,   # (TR, 2, W2, 2C)
     dw_ref,    # (4C, 2C) f32 — accumulated across the grid
     dsc_ref,   # (1, 4C) f32
     dlb_ref,   # (1, 4C) f32
@@ -172,7 +185,7 @@ def _merge_bwd_kernel(
     c = c2 // 2
     scale = sc_ref[0][None]
 
-    m = _merged_4c(x5_ref[...])
+    m = _merged_4c(x4_ref[...], c)
     xhat, rsig = _ln_stats(m.astype(jnp.float32))
     n = (xhat * scale + lb_ref[0][None]).astype(m.dtype)
 
@@ -181,25 +194,27 @@ def _merge_bwd_kernel(
     dn = _mm(dy, w_ref[...], (((1,), (1,))), m.dtype).astype(jnp.float32)
     dsc_ref[...] += jnp.sum(dn * xhat, axis=0, keepdims=True)
     dlb_ref[...] += jnp.sum(dn, axis=0, keepdims=True)
-    dm = _ln_bwd(dn, xhat, rsig, scale).astype(dx5_ref.dtype)
+    dm = _ln_bwd(dn, xhat, rsig, scale).astype(dx4_ref.dtype)
     dm = dm.reshape(tr, w2, 4 * c)
-    dx5_ref[:, 0, :, 0, :] = dm[..., 0 * c:1 * c]
-    dx5_ref[:, 1, :, 0, :] = dm[..., 1 * c:2 * c]
-    dx5_ref[:, 0, :, 1, :] = dm[..., 2 * c:3 * c]
-    dx5_ref[:, 1, :, 1, :] = dm[..., 3 * c:4 * c]
+    # inverse of _merged_4c: [dx0|dx1|dx2|dx3] -> row-pair x lane-pair
+    dx4_ref[:, 0] = jnp.concatenate(
+        (dm[..., 0 * c:1 * c], dm[..., 2 * c:3 * c]), axis=-1)
+    dx4_ref[:, 1] = jnp.concatenate(
+        (dm[..., 1 * c:2 * c], dm[..., 3 * c:4 * c]), axis=-1)
 
 
-def _merge_fwd_pallas(x5, sc, lb, w):
-    r, _, w2, _, c = x5.shape
+def _merge_fwd_pallas(x4, sc, lb, w):
+    r, _, w2, c2 = x4.shape
+    c = c2 // 2
     tr = _row_tile(r, w2 * 4 * c)
-    xp = _pad_rows(x5, tr)
+    xp = _pad_rows(x4, tr)
     grid = (xp.shape[0] // tr,)
     out = pl.pallas_call(
         _merge_fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], w2, 2 * c), x5.dtype),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], w2, 2 * c), x4.dtype),
         grid=grid,
         in_specs=[
-            _row_spec((tr, 2, w2, 2, c)),
+            _row_spec((tr, 2, w2, 2 * c)),
             _const_spec((1, 4 * c)), _const_spec((1, 4 * c)),
             _const_spec((4 * c, 2 * c)),
         ],
@@ -209,57 +224,58 @@ def _merge_fwd_pallas(x5, sc, lb, w):
     return out[:r]
 
 
-def _merge_bwd_pallas(x5, dy, sc, lb, w):
-    r, _, w2, _, c = x5.shape
+def _merge_bwd_pallas(x4, dy, sc, lb, w):
+    r, _, w2, c2 = x4.shape
+    c = c2 // 2
     tr = _row_tile(r, w2 * 4 * c)
-    xp = _pad_rows(x5, tr)
+    xp = _pad_rows(x4, tr)
     dyp = _pad_rows(dy, tr)
     grid = (xp.shape[0] // tr,)
     f32 = jnp.float32
-    dx5, dw, dsc, dlb = pl.pallas_call(
+    dx4, dw, dsc, dlb = pl.pallas_call(
         _merge_bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct(xp.shape, x5.dtype),
+            jax.ShapeDtypeStruct(xp.shape, x4.dtype),
             jax.ShapeDtypeStruct((4 * c, 2 * c), f32),
             jax.ShapeDtypeStruct((1, 4 * c), f32),
             jax.ShapeDtypeStruct((1, 4 * c), f32),
         ),
         grid=grid,
         in_specs=[
-            _row_spec((tr, 2, w2, 2, c)),
+            _row_spec((tr, 2, w2, 2 * c)),
             _row_spec((tr, w2, 2 * c)),
             _const_spec((1, 4 * c)), _const_spec((1, 4 * c)),
             _const_spec((4 * c, 2 * c)),
         ],
         out_specs=(
-            _row_spec((tr, 2, w2, 2, c)),
+            _row_spec((tr, 2, w2, 2 * c)),
             _const_spec((4 * c, 2 * c)),
             _const_spec((1, 4 * c)), _const_spec((1, 4 * c)),
         ),
         interpret=INTERPRET,
     )(xp, dyp, sc[None], lb[None], w)
-    return dx5[:r], dw, dsc[0], dlb[0]
+    return dx4[:r], dw, dsc[0], dlb[0]
 
 
 @functools.partial(jax.custom_vjp)
-def _merge_core(x5, sc, lb, w):
-    """merge+LN+Linear on the free-reshaped ``(R, 2, W2, 2, C)`` layout.
+def _merge_core(x4, sc, lb, w):
+    """merge+LN+Linear on the free-reshaped ``(R, 2, W2, 2C)`` layout.
 
     Under ``shard_map`` (data parallelism) the replicated weights'
     cotangents need no explicit collective: the shard_map transpose
     psums ``P()`` inputs' cotangents itself (same contract as
     ``fused_mlp._mlp_core``)."""
-    return _merge_fwd_pallas(x5, sc, lb, w)
+    return _merge_fwd_pallas(x4, sc, lb, w)
 
 
-def _merge_core_fwd(x5, sc, lb, w):
-    return _merge_fwd_pallas(x5, sc, lb, w), (x5, sc, lb, w)
+def _merge_core_fwd(x4, sc, lb, w):
+    return _merge_fwd_pallas(x4, sc, lb, w), (x4, sc, lb, w)
 
 
 def _merge_core_bwd(res, dy):
-    x5, sc, lb, w = res
-    dx5, dw, dsc, dlb = _merge_bwd_pallas(x5, dy, sc, lb, w)
-    return (dx5, dsc.astype(sc.dtype), dlb.astype(lb.dtype),
+    x4, sc, lb, w = res
+    dx4, dw, dsc, dlb = _merge_bwd_pallas(x4, dy, sc, lb, w)
+    return (dx4, dsc.astype(sc.dtype), dlb.astype(lb.dtype),
             dw.astype(w.dtype))
 
 
@@ -267,7 +283,13 @@ _merge_core.defvjp(_merge_core_fwd, _merge_core_bwd)
 
 
 # ---------------------------------------------------------------------------
-# PatchExpand: x (R, W, C) -> out (R, 2, W, 2, C/2)
+# PatchExpand: x (R, W, C) -> out (R, 2, W, C)
+#
+# The output rides as rank-4 with the column-pair fused into the lane
+# dim: out[:, p1, :, p2*C/2:(p2+1)*C/2] holds LN group g = 2*p1 + p2,
+# so ``(R, 2, W, C) == (B, H, 2, W, 2, C/2) -> (B, 2H, 2W, C/2)`` stays
+# a free reshape.  Rationale as in PatchMerging above (rank-5 refs and
+# interior strided stores crashed the Mosaic compiler on hardware).
 # ---------------------------------------------------------------------------
 
 
@@ -276,19 +298,19 @@ def _expand_fwd_kernel(x_ref, w_ref, sc_ref, lb_ref, o_ref):
     c2 = c // 2
     x2 = x_ref[...].reshape(tr * w_dim, c)
     z = _mm(x2, w_ref[...], (((1,), (0,))), x2.dtype)
-    # channel layout (p1 p2 c): group g = 2*p1 + p2
-    z4 = z.reshape(tr, w_dim, 4, c2).astype(jnp.float32)
-    xhat, _ = _ln_stats(z4)
-    n = (xhat * sc_ref[0] + lb_ref[0]).astype(x2.dtype)
-    o_ref[:, 0, :, 0, :] = n[:, :, 0, :]
-    o_ref[:, 0, :, 1, :] = n[:, :, 1, :]
-    o_ref[:, 1, :, 0, :] = n[:, :, 2, :]
-    o_ref[:, 1, :, 1, :] = n[:, :, 3, :]
+    # channel layout (p1 p2 c): group g = 2*p1 + p2 at lanes [g*c2,(g+1)*c2)
+    n = []
+    for g in range(4):
+        xhat, _ = _ln_stats(z[:, g * c2:(g + 1) * c2].astype(jnp.float32))
+        n.append((xhat * sc_ref[0][None] + lb_ref[0][None])
+                 .astype(x2.dtype).reshape(tr, w_dim, c2))
+    o_ref[:, 0] = jnp.concatenate((n[0], n[1]), axis=-1)
+    o_ref[:, 1] = jnp.concatenate((n[2], n[3]), axis=-1)
 
 
 def _expand_bwd_kernel(
     x_ref,     # (TR, W, C)
-    dy_ref,    # (TR, 2, W, 2, C/2)
+    dy_ref,    # (TR, 2, W, C)
     w_ref,     # (C, 2C)
     sc_ref,    # (1, C/2) f32
     lb_ref,    # (1, C/2) f32
@@ -305,30 +327,28 @@ def _expand_bwd_kernel(
 
     tr, w_dim, c = x_ref.shape
     c2 = c // 2
-    scale = sc_ref[0]
+    scale = sc_ref[0][None]
 
     x2 = x_ref[...].reshape(tr * w_dim, c)
     z = _mm(x2, w_ref[...], (((1,), (0,))), x2.dtype)
-    z4 = z.reshape(tr, w_dim, 4, c2).astype(jnp.float32)
-    xhat, rsig = _ln_stats(z4)
 
     # per-group LN backward, reassembled with a last-axis concat in the
-    # (p1 p2 c) channel order (no middle-axis stack — Mosaic-friendly)
+    # (p1 p2 c) channel order (lane slices only — Mosaic-friendly)
     dy = dy_ref[...]
     dsc = jnp.zeros((1, c2), jnp.float32)
     dlb = jnp.zeros((1, c2), jnp.float32)
     dz_groups = []
     for g, (p1, p2) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        dn_g = dy[:, p1, :, p2, :].astype(jnp.float32)  # (TR, W, C/2)
-        xhat_g = xhat[:, :, g, :]
-        dsc += jnp.sum(dn_g * xhat_g, axis=(0, 1))[None]
-        dlb += jnp.sum(dn_g, axis=(0, 1))[None]
-        dz_groups.append(
-            _ln_bwd(dn_g, xhat_g, rsig[:, :, g, :], scale))
+        dn_g = (dy[:, p1, :, p2 * c2:(p2 + 1) * c2]
+                .reshape(tr * w_dim, c2).astype(jnp.float32))
+        xhat_g, rsig_g = _ln_stats(
+            z[:, g * c2:(g + 1) * c2].astype(jnp.float32))
+        dsc += jnp.sum(dn_g * xhat_g, axis=0, keepdims=True)
+        dlb += jnp.sum(dn_g, axis=0, keepdims=True)
+        dz_groups.append(_ln_bwd(dn_g, xhat_g, rsig_g, scale))
     dsc_ref[...] += dsc
     dlb_ref[...] += dlb
     dz = jnp.concatenate(dz_groups, axis=-1).astype(x2.dtype)
-    dz = dz.reshape(tr * w_dim, 2 * c)
     dw_ref[...] += _mm(x2, dz, (((0,), (0,))))
     dx = _mm(dz, w_ref[...], (((1,), (1,))), x2.dtype)
     dx_ref[...] = dx.reshape(tr, w_dim, c)
@@ -342,14 +362,14 @@ def _expand_fwd_pallas(x3, w, sc, lb):
     out = pl.pallas_call(
         _expand_fwd_kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (xp.shape[0], 2, w_dim, 2, c // 2), x3.dtype),
+            (xp.shape[0], 2, w_dim, c), x3.dtype),
         grid=grid,
         in_specs=[
             _row_spec((tr, w_dim, c)),
             _const_spec((c, 2 * c)),
             _const_spec((1, c // 2)), _const_spec((1, c // 2)),
         ],
-        out_specs=_row_spec((tr, 2, w_dim, 2, c // 2)),
+        out_specs=_row_spec((tr, 2, w_dim, c)),
         interpret=INTERPRET,
     )(xp, w, sc[None], lb[None])
     return out[:r]
@@ -373,7 +393,7 @@ def _expand_bwd_pallas(x3, dy, w, sc, lb):
         grid=grid,
         in_specs=[
             _row_spec((tr, w_dim, c)),
-            _row_spec((tr, 2, w_dim, 2, c // 2)),
+            _row_spec((tr, 2, w_dim, c)),
             _const_spec((c, 2 * c)),
             _const_spec((1, c // 2)), _const_spec((1, c // 2)),
         ],
@@ -484,8 +504,8 @@ def fused_patch_merge(
 
     def run(xs, sc, lb, wk):
         bs = xs.shape[0]
-        x5 = xs.reshape(bs * (h // 2), 2, w // 2, 2, c)
-        out = _merge_core(x5, sc, lb, wk)
+        x4 = xs.reshape(bs * (h // 2), 2, w // 2, 2 * c)
+        out = _merge_core(x4, sc, lb, wk)
         return out.reshape(bs, h // 2, w // 2, 2 * c)
 
     return _shard_run(run, x, args, data_mesh, data_axis)

@@ -220,7 +220,7 @@ def _attn_middle_bwd(wm_ref, dcw_ref, dwm_ref, s_ref, p_ref, dp_ref, z_ref,
 
 def _fwd_kernel(
     x_ref,      # (1, wh, Wp, C)
-    rm_ref,     # (wh, Wp) f32 real-token rows (rolled)
+    rm_ref,     # (1, wh, Wp) f32 real-token rows (rolled)
     bias_ref,   # (heads, N, N) f32
     mask_ref,   # (1, nWw, N, N) f32 additive
     sd1_ref,    # (1, 1) f32 SMEM: stochastic-depth factor, attn residual
@@ -273,14 +273,14 @@ def _fwd_kernel(
     # proj + attn residual (per-sample stochastic depth)
     y1 = _mm(ctx2d, projk_ref[...], (((1,), (0,))), n1.dtype) \
         + projb_ref[0][None]
-    x2 = x2d + y1 * sd1_ref[0, 0].astype(y1.dtype)
+    x2 = x2d + y1 * sd1_ref[0, 0, 0].astype(y1.dtype)
 
     # LN2 + MLP + residual
     n2, _, _ = _ln_normed(x2, ln2s_ref[0][None], ln2b_ref[0][None])
     z1 = _mm(n2, w1_ref[...], (((1,), (0,))), n2.dtype) + b1_ref[0][None]
     h = jax.nn.gelu(z1, approximate=gelu_tanh)
     y2 = _mm(h, w2_ref[...], (((1,), (0,))), n2.dtype) + b2_ref[0][None]
-    out = x2 + y2 * sd2_ref[0, 0].astype(y2.dtype)
+    out = x2 + y2 * sd2_ref[0, 0, 0].astype(y2.dtype)
     o_ref[0] = out.reshape(wh, wp, c)
 
 
@@ -288,7 +288,7 @@ def _bwd_kernel(
     x_ref,      # (1, wh, Wp, C)
     ctx_ref,    # (1, wh, Wp, C) saved attention context
     dy_ref,     # (1, wh, Wp, C)
-    rm_ref,     # (wh, Wp) f32
+    rm_ref,     # (1, wh, Wp) f32
     bias_ref,   # (heads, N, N) f32
     mask_ref,   # (1, nWw, N, N) f32
     sd1_ref, sd2_ref,            # (1, 1) f32 SMEM
@@ -342,8 +342,8 @@ def _bwd_kernel(
     ctx2d = ctx_ref[0].reshape(t, c)
     dy = dy_ref[0].reshape(t, c)
     rm = rm_ref[...].reshape(t, 1)
-    sd1 = sd1_ref[0, 0]
-    sd2 = sd2_ref[0, 0]
+    sd1 = sd1_ref[0, 0, 0]
+    sd2 = sd2_ref[0, 0, 0]
 
     # ---- recompute the forward (flash-style; saved: x, ctx) ----
     n1, xhat1, rsig1 = _ln_normed(x2d, ln1s_ref[0][None], ln1b_ref[0][None])
@@ -428,12 +428,17 @@ def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
     s_all = nww * n
     s_cap = min(nww, max(1, _S_CAP // n)) * n
     grid = (b, nwh)
-    sd_spec = pl.BlockSpec((1, 1), lambda b_, i: (b_, 0),
+    # (B,1,1)/(1,1,1): trailing block dims must equal the array dims
+    # (a (1,1) block of a (B,1) array violates the Mosaic sublane rule)
+    sd_spec = pl.BlockSpec((1, 1, 1), lambda b_, i: (b_, 0, 0),
                            memory_space=pltpu.SMEM)
     in_specs = [
         pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((wh, wp), lambda b_, i: (i, 0),
+        # rm rides as (nwh, wh, wp) so the block's trailing dims equal
+        # the array dims — a flat (hp, wp) block of (wh, wp) violates the
+        # Mosaic sublane rule (wh=7 is not 8-divisible; r4 triage log).
+        pl.BlockSpec((1, wh, wp), lambda b_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         _const_spec((heads, n, n)),
         pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
@@ -465,7 +470,8 @@ def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=INTERPRET,
-    )(x, rm, rel_bias, mask, sd1[:, None], sd2[:, None], *params)
+    )(x, rm.reshape(nwh, wh, wp), rel_bias, mask,
+      sd1[:, None, None], sd2[:, None, None], *params)
     return res if save_ctx else (res, None)
 
 
@@ -479,13 +485,15 @@ def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
     s_cap = min(nww, max(1, _S_CAP // n)) * n
     grid = (b, nwh)
     f32 = jnp.float32
-    sd_spec = pl.BlockSpec((1, 1), lambda b_, i: (b_, 0),
+    # (B,1,1)/(1,1,1): trailing block dims must equal the array dims
+    # (a (1,1) block of a (B,1) array violates the Mosaic sublane rule)
+    sd_spec = pl.BlockSpec((1, 1, 1), lambda b_, i: (b_, 0, 0),
                            memory_space=pltpu.SMEM)
     strip = pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
         strip, strip, strip,
-        pl.BlockSpec((wh, wp), lambda b_, i: (i, 0),
+        pl.BlockSpec((1, wh, wp), lambda b_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         _const_spec((heads, n, n)),
         pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
@@ -530,7 +538,8 @@ def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
             pltpu.VMEM((s_cap, s_cap), x.dtype),
         ],
         interpret=INTERPRET,
-    )(x, ctx, dy, rm, rel_bias, mask, sd1[:, None], sd2[:, None], *params)
+    )(x, ctx, dy, rm.reshape(nwh, wh, wp), rel_bias, mask,
+      sd1[:, None, None], sd2[:, None, None], *params)
     return outs
 
 

@@ -73,6 +73,11 @@ run 26_1024_breakdown 3600 python -m \
 #    (VERDICT r3 task 7; pass the winning kernel set by editing FLAGS
 #    after reading 10-14; default = shipped config)
 PARITY_FLAGS="${PARITY_FLAGS:-}"
+if [ "${SKIP_PARITY:-0}" = "1" ]; then
+  echo "=== parity stage skipped (SKIP_PARITY=1) ===" | tee -a "$OUT/summary.log"
+  echo "=== campaign done $(date -u +%H:%M:%S) ===" | tee -a "$OUT/summary.log"
+  exit 0
+fi
 run 30_parity_deploy 10800 python -m \
   semantic_segmentation_of_stylegan2_artifacts_tpu.tools.parity_vs_deploy \
   --img 512 --epochs 15 $PARITY_FLAGS
