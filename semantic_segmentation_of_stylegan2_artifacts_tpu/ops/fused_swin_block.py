@@ -218,9 +218,27 @@ def _attn_middle_bwd(wm_ref, dcw_ref, dwm_ref, s_ref, p_ref, dp_ref, z_ref,
         w0 += g
 
 
+def _real_rows(wh, wp, h, w, sh, sw, hp):
+    """In-kernel ``(wh*wp, 1)`` f32 real-token mask for this strip.
+
+    Token (r, col) of strip ``program_id(1)`` sits at rolled row
+    ``i = pid*wh + r``; it is real iff the unrolled position is inside
+    the (h, w) map: ``(i+sh) % hp < h and (col+sw) % wp < w``.  Built
+    from a sublane iota instead of riding in as an array: the former
+    ``(1, wh, Wp) -> (wh*Wp, 1)`` ref reshape collapses the lane dim
+    into sublanes, which Mosaic's infer-vector-layout rejects
+    (``tpu.reshape (1x7x133) -> (931x1)``, r4 hardware triage)."""
+    t = wh * wp
+    idx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    r = idx // wp
+    col = idx - r * wp
+    oi = jax.lax.rem(pl.program_id(1) * wh + r + sh, hp)
+    oj = jax.lax.rem(col + sw, wp)
+    return jnp.logical_and(oi < h, oj < w).astype(jnp.float32)
+
+
 def _fwd_kernel(
     x_ref,      # (1, wh, Wp, C)
-    rm_ref,     # (1, wh, Wp) f32 real-token rows (rolled)
     bias_ref,   # (heads, N, N) f32
     mask_ref,   # (1, nWw, N, N) f32 additive
     sd1_ref,    # (1, 1) f32 SMEM: stochastic-depth factor, attn residual
@@ -243,6 +261,7 @@ def _fwd_kernel(
     ww: int,
     heads: int,
     gelu_tanh: bool,
+    dims: Tuple[int, int, int, int, int],
 ):
     n = wh * ww
     wp = x_ref.shape[2]
@@ -256,7 +275,8 @@ def _fwd_kernel(
         z_ref[...] = jnp.zeros_like(z_ref)
 
     x2d = x_ref[0].reshape(t, c)
-    rm = rm_ref[...].reshape(t, 1)
+    h, w, sh, sw, hp = dims
+    rm = _real_rows(wh, wp, h, w, sh, sw, hp)
 
     # LN1 + qkv; zero normed pad rows (torchvision pads the normed map)
     n1, _, _ = _ln_normed(x2d, ln1s_ref[0][None], ln1b_ref[0][None])
@@ -288,7 +308,6 @@ def _bwd_kernel(
     x_ref,      # (1, wh, Wp, C)
     ctx_ref,    # (1, wh, Wp, C) saved attention context
     dy_ref,     # (1, wh, Wp, C)
-    rm_ref,     # (1, wh, Wp) f32
     bias_ref,   # (heads, N, N) f32
     mask_ref,   # (1, nWw, N, N) f32
     sd1_ref, sd2_ref,            # (1, 1) f32 SMEM
@@ -320,6 +339,7 @@ def _bwd_kernel(
     ww: int,
     heads: int,
     gelu_tanh: bool,
+    dims: Tuple[int, int, int, int, int],
 ):
     n = wh * ww
     wp = x_ref.shape[2]
@@ -341,7 +361,8 @@ def _bwd_kernel(
     x2d = x_ref[0].reshape(t, c)
     ctx2d = ctx_ref[0].reshape(t, c)
     dy = dy_ref[0].reshape(t, c)
-    rm = rm_ref[...].reshape(t, 1)
+    h, w, sh, sw, hp = dims
+    rm = _real_rows(wh, wp, h, w, sh, sw, hp)
     sd1 = sd1_ref[0, 0, 0]
     sd2 = sd2_ref[0, 0, 0]
 
@@ -415,8 +436,8 @@ def _param_specs(c, hid):
     ]
 
 
-def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
-                gelu_tanh, save_ctx):
+def _fwd_pallas(x, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
+                gelu_tanh, dims, save_ctx):
     """``save_ctx=False`` (inference / primal-only): the attention context
     lives in a VMEM scratch instead of an HBM output — kernel arg order
     is unchanged because Pallas passes ``ins, outs, scratch`` and ctx is
@@ -434,11 +455,6 @@ def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
                            memory_space=pltpu.SMEM)
     in_specs = [
         pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        # rm rides as (nwh, wh, wp) so the block's trailing dims equal
-        # the array dims — a flat (hp, wp) block of (wh, wp) violates the
-        # Mosaic sublane rule (wh=7 is not 8-divisible; r4 triage log).
-        pl.BlockSpec((1, wh, wp), lambda b_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         _const_spec((heads, n, n)),
         pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
@@ -463,20 +479,19 @@ def _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
         scratch = [pltpu.VMEM((1, wh, wp, c), x.dtype)] + scratch
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
-                          gelu_tanh=gelu_tanh),
+                          gelu_tanh=gelu_tanh, dims=dims),
         out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=INTERPRET,
-    )(x, rm.reshape(nwh, wh, wp), rel_bias, mask,
-      sd1[:, None, None], sd2[:, None, None], *params)
+    )(x, rel_bias, mask, sd1[:, None, None], sd2[:, None, None], *params)
     return res if save_ctx else (res, None)
 
 
-def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
-                heads, gelu_tanh):
+def _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params, *, wh, ww,
+                heads, gelu_tanh, dims):
     b, hp, wp, c = x.shape
     n = wh * ww
     nwh, nww = hp // wh, wp // ww
@@ -493,8 +508,6 @@ def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
                          memory_space=pltpu.VMEM)
     in_specs = [
         strip, strip, strip,
-        pl.BlockSpec((1, wh, wp), lambda b_, i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
         _const_spec((heads, n, n)),
         pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -521,7 +534,7 @@ def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
     )
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads,
-                          gelu_tanh=gelu_tanh),
+                          gelu_tanh=gelu_tanh, dims=dims),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
@@ -538,38 +551,40 @@ def _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params, *, wh, ww,
             pltpu.VMEM((s_cap, s_cap), x.dtype),
         ],
         interpret=INTERPRET,
-    )(x, ctx, dy, rm.reshape(nwh, wh, wp), rel_bias, mask,
+    )(x, ctx, dy, rel_bias, mask,
       sd1[:, None, None], sd2[:, None, None], *params)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _block_core(x, rm, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
-                gelu_tanh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _block_core(x, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
+                gelu_tanh, dims):
     """Whole Swin block on a rolled/padded map: ``(B,Hp,Wp,C)->same``.
 
     ``params`` order: ln1s, ln1b, qkvk, qkvb, projk, projb, ln2s, ln2b,
-    w1, b1, w2, b2.  Under ``shard_map`` the replicated params'
-    cotangents need no explicit collective: the shard_map transpose
-    psums ``P()`` inputs' cotangents itself."""
-    out, _ = _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params,
+    w1, b1, w2, b2.  ``dims`` = static ``(h, w, sh, sw, hp)`` for the
+    in-kernel real-token mask.  Under ``shard_map`` the replicated
+    params' cotangents need no explicit collective: the shard_map
+    transpose psums ``P()`` inputs' cotangents itself."""
+    out, _ = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
                          wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
-                         save_ctx=False)
+                         dims=dims, save_ctx=False)
     return out
 
 
-def _block_core_fwd(x, rm, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
-                    gelu_tanh):
-    out, ctx = _fwd_pallas(x, rm, rel_bias, mask, sd1, sd2, params,
+def _block_core_fwd(x, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
+                    gelu_tanh, dims):
+    out, ctx = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
                            wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
-                           save_ctx=True)
-    return out, (x, ctx, rm, rel_bias, mask, sd1, sd2, params)
+                           dims=dims, save_ctx=True)
+    return out, (x, ctx, rel_bias, mask, sd1, sd2, params)
 
 
-def _block_core_bwd(wh, ww, heads, gelu_tanh, res, dy):
-    x, ctx, rm, rel_bias, mask, sd1, sd2, params = res
-    outs = _bwd_pallas(x, ctx, dy, rm, rel_bias, mask, sd1, sd2, params,
-                       wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh)
+def _block_core_bwd(wh, ww, heads, gelu_tanh, dims, res, dy):
+    x, ctx, rel_bias, mask, sd1, sd2, params = res
+    outs = _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params,
+                       wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
+                       dims=dims)
     dx, dbias = outs[0], outs[1]
     (dln1s, dln1b, dqkvk, dqkvb, dprojk, dprojb, dln2s, dln2b,
      dw1, db1, dw2, db2) = outs[2:]
@@ -577,7 +592,7 @@ def _block_core_bwd(wh, ww, heads, gelu_tanh, res, dy):
                dln2s, dln2b, dw1, db1, dw2, db2)
     dparams = tuple(g.astype(p.dtype).reshape(p.shape)
                     for g, p in zip(dparams, params))
-    return (dx, jnp.zeros_like(rm), dbias.astype(rel_bias.dtype),
+    return (dx, dbias.astype(rel_bias.dtype),
             jnp.zeros_like(mask), jnp.zeros_like(sd1), jnp.zeros_like(sd2),
             dparams)
 
@@ -675,12 +690,10 @@ def fused_swin_block(
         x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
 
     nwh, nww = hp // wh, wp // ww
-
-    rm_np = np.zeros((hp, wp), np.float32)
-    rm_np[:h, :w] = 1.0
-    if shifted:
-        rm_np = np.roll(rm_np, (-sh, -sw), axis=(0, 1))
-    rm = jnp.asarray(rm_np)
+    # real-token mask is generated in-kernel from these static dims
+    # (an (hp, wp) array input needed a lane->sublane reshape Mosaic
+    # rejects; r4 hardware triage)
+    dims = (h, w, sh if shifted else 0, sw if shifted else 0, hp)
 
     rel_idx = relative_position_index(wh, ww)
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
@@ -706,9 +719,9 @@ def fused_swin_block(
     sd1 = sd1.astype(jnp.float32)
     sd2 = sd2.astype(jnp.float32)
 
-    def run(xs, rmm, rb, mk, s1, s2, ps):
-        return _block_core(xs, rmm, rb, mk, s1, s2, ps, wh, ww, num_heads,
-                           gelu_tanh)
+    def run(xs, rb, mk, s1, s2, ps):
+        return _block_core(xs, rb, mk, s1, s2, ps, wh, ww, num_heads,
+                           gelu_tanh, dims)
 
     if data_mesh is not None and data_mesh.shape.get(data_axis, 1) > 1:
         from jax.sharding import PartitionSpec as P
@@ -718,15 +731,15 @@ def fused_swin_block(
             out = jax.shard_map(
                 run,
                 mesh=data_mesh,
-                in_specs=(P(data_axis), P(), P(), P(),
+                in_specs=(P(data_axis), P(), P(),
                           P(data_axis), P(data_axis), P()),
                 out_specs=P(data_axis),
                 check_vma=False,  # pallas outputs carry no vma annotation
-            )(x, rm, rel_bias, mask, sd1, sd2, params)
+            )(x, rel_bias, mask, sd1, sd2, params)
         else:
-            out = run(x, rm, rel_bias, mask, sd1, sd2, params)
+            out = run(x, rel_bias, mask, sd1, sd2, params)
     else:
-        out = run(x, rm, rel_bias, mask, sd1, sd2, params)
+        out = run(x, rel_bias, mask, sd1, sd2, params)
 
     if shifted:
         out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
