@@ -26,13 +26,21 @@ one window-row strip in one program:
 * stochastic depth stays INSIDE the residual chain: per-sample factors
   (``noise/keep``, drawn by the caller so the RNG stream matches the
   XLA path) enter as SMEM scalars — torchvision row-mode semantics;
-* backward is flash-style: saved are only ``x`` and the attention
-  context (saving ctx drops the per-head context matmul + scatter from
-  the backward body, which is compile-size bound); LN1/qkv/probs/LN2/
-  MLP are recomputed per strip and all weight/LN/bias-table gradients
-  are accumulated across the sequential TPU grid into constant-index
-  f32 output blocks (same pattern as the bias-table gradient in
-  ``fused_window_attention._bwd_kernel``).
+* backward is flash-style and SPLIT INTO TWO PROGRAMS: saved are
+  ``x``, the attention context and the post-attention residual ``x2``;
+  an MLP-half program (LN2/fc1/GELU recomputed; emits ``dx2`` and the
+  fc1/fc2/LN2 gradients) runs first, then an attention-half program
+  (LN1/qkv/probs recomputed; emits ``dx`` and the qkv/proj/LN1/
+  bias-table gradients).  A single monolithic backward CANNOT exist at
+  C=512: its resident f32 gradient accumulators alone (qkv 3 MB +
+  proj 1 MB + fc1 4 MB + fc2 4 MB) plus 6 MB of bf16 weights exceed
+  the 16 MB VMEM scoped limit (measured on v5e, r4: 17.54 MB request
+  rejected).  Each half stays ~11-15 MB; weight/LN/bias-table
+  gradients are accumulated across the sequential TPU grid into
+  constant-index f32 output blocks (same pattern as the bias-table
+  gradient in ``fused_window_attention._bwd_kernel``).  The extra HBM
+  cost vs the impossible monolith is one C-wide stream saved forward
+  (``x2``) and one round-tripped between the halves (``dx2``).
 
 Numerics match the XLA path (``models/layers.py::SwinBlock`` with
 kernels off) to bf16 rounding; padded tokens reproduce torchvision's
@@ -251,6 +259,7 @@ def _fwd_kernel(
     w2_ref, b2_ref,              # (H, C), (1, C)
     o_ref,      # (1, wh, Wp, C)
     ctx_ref,    # (1, wh, Wp, C) — saved for the backward
+    x2_ref,     # (1, wh, Wp, C) — post-attention residual, saved
     wm_ref,     # scratch (nWw*N, 3C)
     s_ref,      # scratch (S_cap, S_cap) f32
     p_ref,      # scratch (S_cap, N) f32
@@ -294,6 +303,7 @@ def _fwd_kernel(
     y1 = _mm(ctx2d, projk_ref[...], (((1,), (0,))), n1.dtype) \
         + projb_ref[0][None]
     x2 = x2d + y1 * sd1_ref[0, 0, 0].astype(y1.dtype)
+    x2_ref[0] = x2.reshape(wh, wp, c)
 
     # LN2 + MLP + residual
     n2, _, _ = _ln_normed(x2, ln2s_ref[0][None], ln2b_ref[0][None])
@@ -304,27 +314,70 @@ def _fwd_kernel(
     o_ref[0] = out.reshape(wh, wp, c)
 
 
-def _bwd_kernel(
+def _bwd_mlp_kernel(
+    x2_ref,     # (1, wh, Wp, C) saved post-attention residual
+    dy_ref,     # (1, wh, Wp, C)
+    sd2_ref,    # (1, 1, 1) f32 SMEM
+    ln2s_ref, ln2b_ref,          # (1, C) f32
+    w1_ref, b1_ref,              # (C, H), (1, H)
+    w2_ref, b2_ref,              # (H, C), (1, C)
+    dx2_ref,    # (1, wh, Wp, C) — dy passthrough + LN2 VJP
+    dln2s_ref, dln2b_ref,        # (1, C) f32 — accumulated across grid
+    dw1_ref, db1_ref,            # (C, H), (1, H) f32
+    dw2_ref, db2_ref,            # (H, C), (1, C) f32
+    *,
+    wh: int,
+    gelu_tanh: bool,
+):
+    wp = x2_ref.shape[2]
+    c = x2_ref.shape[3]
+    t = wh * wp
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    x2 = x2_ref[0].reshape(t, c)
+    dy = dy_ref[0].reshape(t, c)
+    sd2 = sd2_ref[0, 0, 0]
+
+    # recompute LN2/fc1/GELU (flash-style; saved: x2)
+    n2, xhat2, rsig2 = _ln_normed(x2, ln2s_ref[0][None], ln2b_ref[0][None])
+    z1 = _mm(n2, w1_ref[...], (((1,), (0,))), n2.dtype) + b1_ref[0][None]
+    gelu = lambda z: jax.nn.gelu(z, approximate=gelu_tanh)  # noqa: E731
+    h, gelu_vjp = jax.vjp(gelu, z1)
+
+    dy2 = dy * sd2.astype(dy.dtype)
+    db2_ref[...] += jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
+    dw2_ref[...] += _mm(h, dy2, (((0,), (0,))))
+    dh = _mm(dy2, w2_ref[...], (((1,), (1,))), h.dtype)
+    dz1 = gelu_vjp(dh)[0]
+    db1_ref[...] += jnp.sum(dz1.astype(jnp.float32), axis=0, keepdims=True)
+    dw1_ref[...] += _mm(n2, dz1, (((0,), (0,))))
+    dn2 = _mm(dz1, w1_ref[...], (((1,), (1,))), n2.dtype).astype(jnp.float32)
+    dln2s_ref[...] += jnp.sum(dn2 * xhat2, axis=0, keepdims=True)
+    dln2b_ref[...] += jnp.sum(dn2, axis=0, keepdims=True)
+    dx2 = dy + _ln_bwd(dn2, xhat2, rsig2, ln2s_ref[0][None]).astype(dy.dtype)
+    dx2_ref[0] = dx2.reshape(wh, wp, c)
+
+
+def _bwd_attn_kernel(
     x_ref,      # (1, wh, Wp, C)
     ctx_ref,    # (1, wh, Wp, C) saved attention context
-    dy_ref,     # (1, wh, Wp, C)
+    dx2_ref,    # (1, wh, Wp, C) cotangent from the MLP-half program
     bias_ref,   # (heads, N, N) f32
     mask_ref,   # (1, nWw, N, N) f32
-    sd1_ref, sd2_ref,            # (1, 1) f32 SMEM
+    sd1_ref,    # (1, 1, 1) f32 SMEM
     ln1s_ref, ln1b_ref,
     qkvk_ref, qkvb_ref,
     projk_ref, projb_ref,
-    ln2s_ref, ln2b_ref,
-    w1_ref, b1_ref,
-    w2_ref, b2_ref,
     dx_ref,     # (1, wh, Wp, C)
     dbias_ref,  # (heads, N, N) f32 — accumulated across the grid
     dln1s_ref, dln1b_ref,        # (1, C) f32 — accumulated
     dqkvk_ref, dqkvb_ref,        # (C, 3C), (1, 3C) f32
     dprojk_ref, dprojb_ref,      # (C, C), (1, C) f32
-    dln2s_ref, dln2b_ref,        # (1, C) f32
-    dw1_ref, db1_ref,            # (C, H), (1, H) f32
-    dw2_ref, db2_ref,            # (H, C), (1, C) f32
     wm_ref,     # scratch (nWw*N, 3C)
     dcw_ref,    # scratch (nWw*N, C)
     dwm_ref,    # scratch (nWw*N, 3C)
@@ -338,7 +391,6 @@ def _bwd_kernel(
     wh: int,
     ww: int,
     heads: int,
-    gelu_tanh: bool,
     dims: Tuple[int, int, int, int, int],
 ):
     n = wh * ww
@@ -354,45 +406,22 @@ def _bwd_kernel(
         z2_ref[...] = jnp.zeros_like(z2_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
         for r in (dln1s_ref, dln1b_ref, dqkvk_ref, dqkvb_ref, dprojk_ref,
-                  dprojb_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref,
-                  dw2_ref, db2_ref):
+                  dprojb_ref):
             r[...] = jnp.zeros_like(r)
 
     x2d = x_ref[0].reshape(t, c)
     ctx2d = ctx_ref[0].reshape(t, c)
-    dy = dy_ref[0].reshape(t, c)
+    dx2 = dx2_ref[0].reshape(t, c)
     h, w, sh, sw, hp = dims
     rm = _real_rows(wh, wp, h, w, sh, sw, hp)
     sd1 = sd1_ref[0, 0, 0]
-    sd2 = sd2_ref[0, 0, 0]
 
-    # ---- recompute the forward (flash-style; saved: x, ctx) ----
+    # ---- recompute LN1 + qkv (flash-style; saved: x, ctx) ----
     n1, xhat1, rsig1 = _ln_normed(x2d, ln1s_ref[0][None], ln1b_ref[0][None])
     n1 = n1 * rm.astype(n1.dtype)
     qkv2d = _mm(n1, qkvk_ref[...], (((1,), (0,))), n1.dtype) \
         + qkvb_ref[0][None]
     _tile_to_wm(qkv2d.reshape(wh, wp, 3 * c), wm_ref, wh, ww, 3 * c)
-
-    y1 = _mm(ctx2d, projk_ref[...], (((1,), (0,))), n1.dtype) \
-        + projb_ref[0][None]
-    x2 = x2d + y1 * sd1.astype(y1.dtype)
-    n2, xhat2, rsig2 = _ln_normed(x2, ln2s_ref[0][None], ln2b_ref[0][None])
-    z1 = _mm(n2, w1_ref[...], (((1,), (0,))), n2.dtype) + b1_ref[0][None]
-    gelu = lambda z: jax.nn.gelu(z, approximate=gelu_tanh)  # noqa: E731
-    h, gelu_vjp = jax.vjp(gelu, z1)
-
-    # ---- MLP sublayer backward ----
-    dy2 = dy * sd2.astype(dy.dtype)
-    db2_ref[...] += jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
-    dw2_ref[...] += _mm(h, dy2, (((0,), (0,))))
-    dh = _mm(dy2, w2_ref[...], (((1,), (1,))), h.dtype)
-    dz1 = gelu_vjp(dh)[0]
-    db1_ref[...] += jnp.sum(dz1.astype(jnp.float32), axis=0, keepdims=True)
-    dw1_ref[...] += _mm(n2, dz1, (((0,), (0,))))
-    dn2 = _mm(dz1, w1_ref[...], (((1,), (1,))), n2.dtype).astype(jnp.float32)
-    dln2s_ref[...] += jnp.sum(dn2 * xhat2, axis=0, keepdims=True)
-    dln2b_ref[...] += jnp.sum(dn2, axis=0, keepdims=True)
-    dx2 = dy + _ln_bwd(dn2, xhat2, rsig2, ln2s_ref[0][None]).astype(dy.dtype)
 
     # ---- proj backward ----
     dy1 = dx2 * sd1.astype(dx2.dtype)
@@ -439,9 +468,10 @@ def _param_specs(c, hid):
 def _fwd_pallas(x, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
                 gelu_tanh, dims, save_ctx):
     """``save_ctx=False`` (inference / primal-only): the attention context
-    lives in a VMEM scratch instead of an HBM output — kernel arg order
-    is unchanged because Pallas passes ``ins, outs, scratch`` and ctx is
-    either the second output or the first scratch."""
+    and the post-attention residual live in VMEM scratch instead of HBM
+    outputs — kernel arg order is unchanged because Pallas passes
+    ``ins, outs, scratch`` and (ctx, x2) are either outputs 2-3 or the
+    first two scratch refs."""
     b, hp, wp, c = x.shape
     n = wh * ww
     nwh, nww = hp // wh, wp // ww
@@ -471,12 +501,12 @@ def _fwd_pallas(x, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
         pltpu.VMEM((s_all, c), x.dtype),
     ]
     if save_ctx:
-        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * 2
-        out_specs = (out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * 3
+        out_specs = (out_spec, out_spec, out_spec)
     else:
         out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
         out_specs = out_spec
-        scratch = [pltpu.VMEM((1, wh, wp, c), x.dtype)] + scratch
+        scratch = [pltpu.VMEM((1, wh, wp, c), x.dtype)] * 2 + scratch
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
                           gelu_tanh=gelu_tanh, dims=dims),
@@ -487,11 +517,15 @@ def _fwd_pallas(x, rel_bias, mask, sd1, sd2, params, *, wh, ww, heads,
         scratch_shapes=scratch,
         interpret=INTERPRET,
     )(x, rel_bias, mask, sd1[:, None, None], sd2[:, None, None], *params)
-    return res if save_ctx else (res, None)
+    return res if save_ctx else (res, None, None)
 
 
-def _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params, *, wh, ww,
-                heads, gelu_tanh, dims):
+def _bwd_pallas(x, ctx, x2, dy, rel_bias, mask, sd1, sd2, params, *, wh,
+                ww, heads, gelu_tanh, dims):
+    """Two-program backward (see module docstring): the MLP half first
+    (emits ``dx2`` + fc/LN2 grads), then the attention half (emits
+    ``dx`` + qkv/proj/LN1/bias grads).  Returns grads in the same order
+    the old monolithic kernel did."""
     b, hp, wp, c = x.shape
     n = wh * ww
     nwh, nww = hp // wh, wp // ww
@@ -506,14 +540,32 @@ def _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params, *, wh, ww,
                            memory_space=pltpu.SMEM)
     strip = pl.BlockSpec((1, wh, wp, c), lambda b_, i: (b_, i, 0, 0),
                          memory_space=pltpu.VMEM)
-    in_specs = [
-        strip, strip, strip,
-        _const_spec((heads, n, n)),
-        pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        sd_spec, sd_spec,
-    ] + _param_specs(c, hid)
-    out_shapes = (
+
+    # ---- MLP half: (x2, dy) -> dx2 + LN2/fc1/fc2 grads ----
+    mlp_out_shapes = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),           # dx2
+        jax.ShapeDtypeStruct((1, c), f32),                # dln2s
+        jax.ShapeDtypeStruct((1, c), f32),                # dln2b
+        jax.ShapeDtypeStruct((c, hid), f32),              # dw1
+        jax.ShapeDtypeStruct((1, hid), f32),              # db1
+        jax.ShapeDtypeStruct((hid, c), f32),              # dw2
+        jax.ShapeDtypeStruct((1, c), f32),                # db2
+    )
+    ps = _param_specs(c, hid)
+    mlp_outs = pl.pallas_call(
+        functools.partial(_bwd_mlp_kernel, wh=wh, gelu_tanh=gelu_tanh),
+        out_shape=mlp_out_shapes,
+        grid=grid,
+        in_specs=[strip, strip, sd_spec] + ps[6:12],
+        out_specs=(strip,) + tuple(
+            _const_spec(s.shape) for s in mlp_out_shapes[1:]
+        ),
+        interpret=INTERPRET,
+    )(x2, dy, sd2[:, None, None], *params[6:12])
+    dx2, dln2s, dln2b, dw1, db1, dw2, db2 = mlp_outs
+
+    # ---- attention half: (x, ctx, dx2) -> dx + LN1/qkv/proj/bias grads
+    attn_out_shapes = (
         jax.ShapeDtypeStruct(x.shape, x.dtype),           # dx
         jax.ShapeDtypeStruct((heads, n, n), f32),         # dbias
         jax.ShapeDtypeStruct((1, c), f32),                # dln1s
@@ -522,23 +574,22 @@ def _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params, *, wh, ww,
         jax.ShapeDtypeStruct((1, 3 * c), f32),            # dqkvb
         jax.ShapeDtypeStruct((c, c), f32),                # dprojk
         jax.ShapeDtypeStruct((1, c), f32),                # dprojb
-        jax.ShapeDtypeStruct((1, c), f32),                # dln2s
-        jax.ShapeDtypeStruct((1, c), f32),                # dln2b
-        jax.ShapeDtypeStruct((c, hid), f32),              # dw1
-        jax.ShapeDtypeStruct((1, hid), f32),              # db1
-        jax.ShapeDtypeStruct((hid, c), f32),              # dw2
-        jax.ShapeDtypeStruct((1, c), f32),                # db2
     )
-    out_specs = (strip, _const_spec((heads, n, n))) + tuple(
-        _const_spec(s.shape) for s in out_shapes[2:]
-    )
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads,
-                          gelu_tanh=gelu_tanh, dims=dims),
-        out_shape=out_shapes,
+    attn_outs = pl.pallas_call(
+        functools.partial(_bwd_attn_kernel, wh=wh, ww=ww, heads=heads,
+                          dims=dims),
+        out_shape=attn_out_shapes,
         grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=[
+            strip, strip, strip,
+            _const_spec((heads, n, n)),
+            pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            sd_spec,
+        ] + ps[0:6],
+        out_specs=(strip, _const_spec((heads, n, n))) + tuple(
+            _const_spec(s.shape) for s in attn_out_shapes[2:]
+        ),
         scratch_shapes=[
             pltpu.VMEM((s_all, 3 * c), x.dtype),
             pltpu.VMEM((s_all, c), x.dtype),
@@ -551,9 +602,10 @@ def _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params, *, wh, ww,
             pltpu.VMEM((s_cap, s_cap), x.dtype),
         ],
         interpret=INTERPRET,
-    )(x, ctx, dy, rel_bias, mask,
-      sd1[:, None, None], sd2[:, None, None], *params)
-    return outs
+    )(x, ctx, dx2, rel_bias, mask, sd1[:, None, None], *params[0:6])
+    (dx, dbias, dln1s, dln1b, dqkvk, dqkvb, dprojk, dprojb) = attn_outs
+    return (dx, dbias, dln1s, dln1b, dqkvk, dqkvb, dprojk, dprojb,
+            dln2s, dln2b, dw1, db1, dw2, db2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
@@ -566,23 +618,24 @@ def _block_core(x, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
     in-kernel real-token mask.  Under ``shard_map`` the replicated
     params' cotangents need no explicit collective: the shard_map
     transpose psums ``P()`` inputs' cotangents itself."""
-    out, _ = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
-                         wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
-                         dims=dims, save_ctx=False)
+    out, _, _ = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
+                            wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
+                            dims=dims, save_ctx=False)
     return out
 
 
 def _block_core_fwd(x, rel_bias, mask, sd1, sd2, params, wh, ww, heads,
                     gelu_tanh, dims):
-    out, ctx = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
-                           wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
-                           dims=dims, save_ctx=True)
-    return out, (x, ctx, rel_bias, mask, sd1, sd2, params)
+    out, ctx, x2 = _fwd_pallas(x, rel_bias, mask, sd1, sd2, params,
+                               wh=wh, ww=ww, heads=heads,
+                               gelu_tanh=gelu_tanh, dims=dims,
+                               save_ctx=True)
+    return out, (x, ctx, x2, rel_bias, mask, sd1, sd2, params)
 
 
 def _block_core_bwd(wh, ww, heads, gelu_tanh, dims, res, dy):
-    x, ctx, rel_bias, mask, sd1, sd2, params = res
-    outs = _bwd_pallas(x, ctx, dy, rel_bias, mask, sd1, sd2, params,
+    x, ctx, x2, rel_bias, mask, sd1, sd2, params = res
+    outs = _bwd_pallas(x, ctx, x2, dy, rel_bias, mask, sd1, sd2, params,
                        wh=wh, ww=ww, heads=heads, gelu_tanh=gelu_tanh,
                        dims=dims)
     dx, dbias = outs[0], outs[1]

@@ -143,17 +143,26 @@ def main():
     print(f"dispatch floor: {floor:.3f} ms", flush=True)
 
     def report(name, mod, xx):
-        variables = jax.jit(mod.init)(jax.random.PRNGKey(0), xx[:1])
-        p = variables["params"]
+        # One config failing to compile (e.g. a kernel body over the
+        # helper's memory cap) must not kill the remaining A/B legs —
+        # the r4 05:0x triage lost the whole dim-512 per-op comparison
+        # to the block leg's VMEM OOM.
+        try:
+            variables = jax.jit(mod.init)(jax.random.PRNGKey(0), xx[:1])
+            p = variables["params"]
 
-        def loss(pp, xi):
-            out = mod.apply({"params": pp}, xi)
-            return jnp.sum(out.astype(jnp.float32) ** 2)
+            def loss(pp, xi):
+                out = mod.apply({"params": pp}, xi)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        f = jax.jit(jax.value_and_grad(loss))
-        t = _timeit(f, p, xx, iters=args.iters)
-        print(f"{name:34s}: {t:8.3f} ms (-floor {t - floor:8.3f})",
-              flush=True)
+            f = jax.jit(jax.value_and_grad(loss))
+            t = _timeit(f, p, xx, iters=args.iters)
+            print(f"{name:34s}: {t:8.3f} ms (-floor {t - floor:8.3f})",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            msg = str(e).replace("\n", " ")[:200]
+            print(f"{name:34s}: FAILED ({type(e).__name__}: {msg})",
+                  flush=True)
 
     shape = dict(dim=args.dim, heads=args.heads, depth=args.depth,
                  window=args.window)
