@@ -545,6 +545,38 @@ class PatchExpand(nn.Module):
         return self.norm(x)
 
 
+class PointwiseConv(nn.Module):
+    """Bias-free 1×1 NHWC conv computed as a channel ``dot_general``.
+
+    Numerically identical to ``nn.Conv(features, (1, 1), use_bias=False)``
+    and keeps its exact param layout (``kernel`` of shape
+    ``(1, 1, C, features)``), but lowers to a plain contraction instead
+    of ``conv_general_dilated``: for the model head's 128→1 projection
+    at full 512² resolution, XLA's conv emitter picks a
+    batch-in-sublanes layout and brackets the op with ~0.5 GB
+    relayout copies of the (B,512,512,C) input per direction — ~14 ms
+    of the r4 train step for a 0.5-GFLOP op (hlo_breakdown, ``output``
+    section).  A dot_general contraction fuses into the surrounding
+    elementwise graph with no layout constraint.  (Reference head:
+    ``model_parts.py``'s ``nn.Conv2d(embed_dim, num_class, 1, bias=False)``.)
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", conv_torch_init,
+            (1, 1, x.shape[-1], self.features), jnp.float32,
+        )
+        nd = x.ndim - 1
+        return jax.lax.dot_general(
+            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+            (((nd,), (0,)), ((), ())),
+        )
+
+
 class ConvParams(nn.Module):
     """Parameter holder with ``nn.Conv``'s ``kernel``/``bias`` layout for
     a 3x3 conv whose compute is owned by a fused op."""

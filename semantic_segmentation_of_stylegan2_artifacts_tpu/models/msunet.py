@@ -37,7 +37,7 @@ from .layers import (
     FinalPatchExpandX4V2,
     PatchEmbed,
     PatchExpand,
-    conv_torch_init,
+    PointwiseConv,
     layer_norm,
     trunc_normal_init,
 )
@@ -397,13 +397,11 @@ class MSUNetSys(nn.Module):
             data_mesh=self.data_mesh, data_axis=self.data_axis,
             dtype=self.dtype, name="up",
         )
-        self.output = nn.Conv(
-            self.num_classes,
-            kernel_size=(1, 1),
-            use_bias=False,
-            kernel_init=conv_torch_init,
-            dtype=self.dtype,
-            name="output",
+        # 1x1 projection as a dot_general — see PointwiseConv: the
+        # conv_general_dilated lowering costs ~14 ms/step in relayout
+        # copies at 512^2 (r4 hlo_breakdown) for this 0.5-GFLOP op.
+        self.output = PointwiseConv(
+            self.num_classes, dtype=self.dtype, name="output",
         )
 
     # -- encoder with in-pass cent decoders --------------------------------

@@ -193,3 +193,30 @@ def test_hold_layout_matches_spatial_path(window_size):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g_sp, g_hl)
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_pointwise_conv_matches_nn_conv_1x1():
+    """The head's PointwiseConv (dot_general lowering) must be a drop-in
+    for ``nn.Conv(features, (1,1), use_bias=False)``: same param layout
+    (``kernel`` of shape (1,1,C,F)) and identical outputs/grads."""
+    from flax import linen as nn
+
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.models.layers import (
+        PointwiseConv,
+        conv_torch_init,
+    )
+
+    pw = PointwiseConv(3, dtype=jnp.float32)
+    cv = nn.Conv(3, kernel_size=(1, 1), use_bias=False,
+                 kernel_init=conv_torch_init, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    v = pw.init(jax.random.PRNGKey(1), x)
+    assert v["params"]["kernel"].shape == (1, 1, 8, 3)
+    np.testing.assert_allclose(
+        np.asarray(pw.apply(v, x)), np.asarray(cv.apply(v, x)),
+        rtol=1e-6, atol=1e-6)
+    g_pw = jax.grad(lambda v: jnp.sum(pw.apply(v, x) ** 2))(v)
+    g_cv = jax.grad(lambda v: jnp.sum(cv.apply(v, x) ** 2))(v)
+    np.testing.assert_allclose(
+        np.asarray(g_pw["params"]["kernel"]),
+        np.asarray(g_cv["params"]["kernel"]), rtol=1e-5, atol=1e-5)
