@@ -100,16 +100,20 @@ def _chunk_windows(n_tok: int) -> int:
     return max(1, _S_CAP // n_tok)
 
 
-def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int) -> int:
-    """Static forward-scratch estimate for a packed program (bf16).
+def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int,
+                        dt: int = 2) -> int:
+    """Static forward-scratch estimate for a packed program.
 
     Only the forward packs (see ``_fwd_pallas``/``_bwd_pallas`` notes),
-    so this models the forward scratch list.
+    so this models the forward scratch list.  ``dt`` is the input
+    itemsize: the deployment dtype is bf16 (2), but the kernel also
+    runs f32 models (e.g. the parity tools) — a dtype-blind estimate
+    let bp=2 through in f32 and overflowed the 16 MB scoped-vmem stack
+    (measured 18.92 MB at the 512² stage-1 strip, 2026-08-20).
     """
     c = c3 // 3
     s_all = bp * nww * n
     s_cap = min(nww, _chunk_windows(n)) * n
-    dt = 2  # deployment dtype; the kernel only runs on TPU where bf16 is it
     return (s_all * c3 * dt             # wm
             + s_all * c * dt            # ow
             + s_cap * s_cap * (4 + dt)  # s + z
@@ -121,7 +125,8 @@ def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int) -> int:
 _PACK_SCRATCH_CAP = 5 * 2 ** 20
 
 
-def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int) -> int:
+def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
+             dt: int = 2) -> int:
     """Images packed per program (small grids only).
 
     At the 32²/16² token grids per-program fixed costs dominate the
@@ -141,7 +146,8 @@ def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int) -> int:
     while (bp * 2 <= b and b % (bp * 2) == 0
            and bp * 2 * nww <= _MAX_BODY_WINDOWS
            and heads * bp * 2 * nww <= _VISIT_CAP
-           and _pack_scratch_bytes(bp * 2, nww, n, c3) <= _PACK_SCRATCH_CAP):
+           and _pack_scratch_bytes(bp * 2, nww, n, c3,
+                                   dt) <= _PACK_SCRATCH_CAP):
         bp *= 2
     return bp
 
@@ -427,7 +433,7 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
     return g, -(-nww // g)  # wrapper pads nww up to k*g
 
 
-def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True):
+def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2):
     """Grid + input specs.
 
     ``k == 1`` (strip fits one program): plain 4D layout, 2D grid — the
@@ -439,7 +445,7 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True):
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
     if k == 1:
-        bp = _pick_bp(b, heads, nww, n, c3) if pack else 1
+        bp = _pick_bp(b, heads, nww, n, c3, dt) if pack else 1
         grid = (b // bp, nwh)
         in_specs = [
             pl.BlockSpec((bp, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
@@ -492,7 +498,7 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k, bp = _grid_and_specs(
-        b, hp, wp, c3, c, heads, n, wh, ww)
+        b, hp, wp, c3, c, heads, n, wh, ww, dt=qkv.dtype.itemsize)
     chunked = k > 1
     if chunked:
         qkv_in = qkv.reshape(b, hp, k, g * ww, c3)

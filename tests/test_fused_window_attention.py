@@ -120,3 +120,33 @@ def test_supported_gates():
                              attention_dropout=0.1, deterministic=False)
     # head_dim not sliceable
     assert not fwa.supported((2, 14, 14, 18), (7, 7), 2)
+
+
+def test_pick_bp_is_dtype_aware():
+    """f32 inputs must pack fewer images than bf16 (scoped-vmem bound).
+
+    Regression: a dtype-blind scratch estimate let bp=2 through for f32
+    models and the 512² stage-1 strip overflowed the 16 MB scoped-vmem
+    stack on hardware (18.92 MB measured, 2026-08-20) — hit by any f32
+    model with the kernel on (e.g. tools/parity_vs_deploy's deploy arm).
+    Shape below is that strip: batch 4, heads 8, 10-window row, C=256.
+    """
+    bf16 = fwa._pick_bp(4, 8, 10, 49, 768, dt=2)
+    f32 = fwa._pick_bp(4, 8, 10, 49, 768, dt=4)
+    assert bf16 == 2
+    assert f32 == 1
+    # the estimate itself scales with itemsize
+    assert (fwa._pack_scratch_bytes(2, 10, 49, 768, dt=4)
+            > fwa._PACK_SCRATCH_CAP)
+    assert (fwa._pack_scratch_bytes(2, 10, 49, 768, dt=2)
+            <= fwa._PACK_SCRATCH_CAP)
+
+
+def test_fwd_pallas_packs_by_input_dtype():
+    """_grid_and_specs sees the real itemsize through _fwd_pallas."""
+    grid_bf16, _, _, _, bp_bf16 = fwa._grid_and_specs(
+        4, 7, 70, 768, 256, 8, 49, 7, 7, dt=2)
+    grid_f32, _, _, _, bp_f32 = fwa._grid_and_specs(
+        4, 7, 70, 768, 256, 8, 49, 7, 7, dt=4)
+    assert bp_bf16 == 2 and grid_bf16[0] == 2
+    assert bp_f32 == 1 and grid_f32[0] == 4
