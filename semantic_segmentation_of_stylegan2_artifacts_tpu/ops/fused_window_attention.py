@@ -51,15 +51,18 @@ gated by ``TPU.USE_PALLAS_ATTENTION`` + backend/shape support.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .window_attention import relative_position_index, shifted_window_mask
+from .window_attention import (
+    relative_position_index,
+    shifted_window_mask_dev,
+)
 
 # tests flip this to run the kernels in the Pallas interpreter on CPU
 INTERPRET = False
@@ -67,8 +70,11 @@ INTERPRET = False
 # max packed tokens per score matmul.  Bounds VMEM (the f32 score matrix,
 # two probs matrices and their slice temporaries must fit the 16 MB scoped
 # stack in the backward kernel) and the block-diagonal MXU waste (= windows
-# per group).  512 => groups of 10 windows at window 7.
-_S_CAP = 512
+# per group).  512 => groups of 10 windows at window 7.  Tile-pass note
+# (BASELINE.md r4): a 10-window group's (490,490) score matmul is 16 MXU
+# passes vs 8 for two 5-window groups — SSA_ATTN_S_CAP=256 exists for
+# the hardware A/B of the narrower grouping.
+_S_CAP = int(os.environ.get("SSA_ATTN_S_CAP", "512"))
 
 # widest strip compiled as one program (in-kernel group loop).  Wider
 # strips are width-chunked onto the grid: a 37-window body OOMs the
@@ -91,8 +97,13 @@ _MAX_BODY_WINDOWS = 20
 
 # compile-size bound for batch packing: heads × windows visited per
 # program body (the r2 whole-image SIGKILLs were 400 visits; the widest
-# shipped strip bodies ~96 compile fine).
+# shipped strip bodies ~96 compile fine).  The backward body is ~2.5×
+# the forward's op count per visit (7 matmuls + dual scatter loops vs
+# 2 + 1), so its cap is lower: 160 packs stage 1 (8h×2×10) and stage 2
+# (16h×2×5) but leaves stage 3 (32h×2×3=192) unpacked — its 2+2 blocks
+# at the 16² grid are a minor cost anyway.
 _VISIT_CAP = 200
+_BWD_VISIT_CAP = 160
 
 
 def _chunk_windows(n_tok: int) -> int:
@@ -101,32 +112,42 @@ def _chunk_windows(n_tok: int) -> int:
 
 
 def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int,
-                        dt: int = 2) -> int:
-    """Static forward-scratch estimate for a packed program.
+                        dt: int = 2, bwd: bool = False) -> int:
+    """Static scratch estimate for a (possibly packed) program.
 
-    Only the forward packs (see ``_fwd_pallas``/``_bwd_pallas`` notes),
-    so this models the forward scratch list.  ``dt`` is the input
-    itemsize: the deployment dtype is bf16 (2), but the kernel also
-    runs f32 models (e.g. the parity tools) — a dtype-blind estimate
-    let bp=2 through in f32 and overflowed the 16 MB scoped-vmem stack
-    (measured 18.92 MB at the 512² stage-1 strip, 2026-08-20).
+    ``dt`` is the input itemsize: the deployment dtype is bf16 (2), but
+    the kernel also runs f32 models (e.g. the parity tools) — a
+    dtype-blind estimate let bp=2 through in f32 and overflowed the
+    16 MB scoped-vmem stack (measured 18.92 MB at the 512² stage-1
+    strip, 2026-08-20).  The backward (r5) writes dq/dk/dv in place
+    over the consumed q/k/v columns of ``wm`` — no dwm scratch — so
+    its footprint is wm + dcw + the f32 score/dP temps + two
+    block-diagonal matrices.
     """
     c = c3 // 3
     s_all = bp * nww * n
     s_cap = min(nww, _chunk_windows(n)) * n
+    if bwd:
+        return (s_all * c3 * dt                 # wm (in-place dqkv)
+                + s_all * c * dt                # dcw
+                + s_cap * s_cap * (4 + 2 * dt)  # s + z + z2
+                + 3 * s_cap * n * 4)            # p, dp, mask rows
     return (s_all * c3 * dt             # wm
             + s_all * c * dt            # ow
             + s_cap * s_cap * (4 + dt)  # s + z
             + 2 * s_cap * n * 4)        # p, mask rows
 
 
-# packing budget for the estimate above: measured peaks run ~2.7× the
-# static scratch vs the 16 MB scoped-vmem stack limit (see _pick_bp)
-_PACK_SCRATCH_CAP = 5 * 2 ** 20
+# packing budget for the estimate above: measured peaks run up to ~3.2×
+# the static scratch (18.92 MB actual from a 5.84 MiB static estimate,
+# 2026-08-20) vs the 16 MB scoped-vmem stack limit -> 4.5 MiB keeps the
+# projected peak under the stack (4.5 × 3.25 ≈ 14.6 MB); shipped bf16
+# shapes max out ~3.6 MB static either way.
+_PACK_SCRATCH_CAP = int(4.5 * 2 ** 20)
 
 
 def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
-             dt: int = 2) -> int:
+             dt: int = 2, bwd: bool = False) -> int:
     """Images packed per program (small grids only).
 
     At the 32²/16² token grids per-program fixed costs dominate the
@@ -137,17 +158,18 @@ def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
     Score groups stay per-image so the (s,s) score/probs scratch keeps
     its proven unpacked size; packing grows only the window-major
     qkv/dqkv scratch, bounded by ``_pack_scratch_bytes`` (measured
-    backward peaks run ~2.7× the static scratch estimate: 7.1 MB
-    static compiled to an 18.9 MB stack at the 32² grid when packing
-    widened the score group).  Also bounded by the head×window-visit
-    compile cap.
+    peaks run up to ~3.2× the static estimate).  Also bounded by the
+    head×window-visit compile cap.  The backward (r5) packs too: its
+    in-place dqkv write (see ``_bwd_kernel``) removed the dwm scratch
+    that made every r3/r4 packed-bwd variant overflow (17.6–18.9 MB).
     """
+    cap = _BWD_VISIT_CAP if bwd else _VISIT_CAP
     bp = 1
     while (bp * 2 <= b and b % (bp * 2) == 0
            and bp * 2 * nww <= _MAX_BODY_WINDOWS
-           and heads * bp * 2 * nww <= _VISIT_CAP
-           and _pack_scratch_bytes(bp * 2, nww, n, c3,
-                                   dt) <= _PACK_SCRATCH_CAP):
+           and heads * bp * 2 * nww <= cap
+           and _pack_scratch_bytes(bp * 2, nww, n, c3, dt,
+                                   bwd) <= _PACK_SCRATCH_CAP):
         bp *= 2
     return bp
 
@@ -290,8 +312,7 @@ def _bwd_kernel(
     mask_ref,   # (1, 1, nWc, N, N) f32
     dqkv_ref,   # (1, wh, 1, Wc, 3C)
     dbias_ref,  # (heads, N, N) f32 — accumulated across the whole grid
-    wm_ref,     # scratch (nWc*N, 3C)
-    dwm_ref,    # scratch (nWc*N, 3C) f32
+    wm_ref,     # scratch (nWc*N, 3C): qkv in, dqkv out (in-place)
     dcw_ref,    # scratch (nWc*N, C)
     s_ref,      # scratch (S_cap, S_cap) f32: scores, then dP
     p_ref,      # scratch (S_cap, N) f32
@@ -392,6 +413,14 @@ def _bwd_kernel(
                 )
 
             # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
+            # — computed as values first (dk still reads q, dq reads k),
+            # then written IN PLACE over this head's consumed q/k/v
+            # columns of wm: heads own disjoint columns and groups own
+            # disjoint rows, so nothing read later is clobbered.  This
+            # removes the dwm scratch (the largest backward block) —
+            # what made every earlier packed-backward variant overflow
+            # the 16 MB scoped-vmem stack.  dwm was input-dtype already,
+            # so the rounding is unchanged.
             dq = jax.lax.dot_general(
                 z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -404,19 +433,19 @@ def _bwd_kernel(
                 z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
-                dq.astype(dwm_ref.dtype))
-            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = (
-                dk.astype(dwm_ref.dtype))
-            dwm_ref[w0 * n:w0 * n + s,
-                    2 * c + h * hd:2 * c + (h + 1) * hd] = (
-                dv.astype(dwm_ref.dtype))
+            wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
+                dq.astype(wm_ref.dtype))
+            wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = (
+                dk.astype(wm_ref.dtype))
+            wm_ref[w0 * n:w0 * n + s,
+                   2 * c + h * hd:2 * c + (h + 1) * hd] = (
+                dv.astype(wm_ref.dtype))
         w0 += g
 
     for w in range(nwc):
         img, wloc = divmod(w, nwi)
         wr, wc_ = divmod(wloc, nww_blk)
-        dq_wc = (dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
+        dq_wc = (wm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
                  ).astype(dqkv_ref.dtype)
         if chunked:
             dqkv_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
@@ -433,7 +462,8 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
     return g, -(-nww // g)  # wrapper pads nww up to k*g
 
 
-def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2):
+def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2,
+                    bwd=False):
     """Grid + input specs.
 
     ``k == 1`` (strip fits one program): plain 4D layout, 2D grid — the
@@ -445,7 +475,7 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2):
     g, k = _layout(nww, n)
     assert nww == g * k, (nww, g, k)
     if k == 1:
-        bp = _pick_bp(b, heads, nww, n, c3, dt) if pack else 1
+        bp = _pick_bp(b, heads, nww, n, c3, dt, bwd) if pack else 1
         grid = (b // bp, nwh)
         in_specs = [
             pl.BlockSpec((bp, wh, wp, c3), lambda b_, i: (b_, i, 0, 0),
@@ -482,9 +512,8 @@ def _scratch(g_total: int, g_img: int, n: int, c3: int, c: int, dtype,
             pltpu.VMEM((s_all, c), dtype),
         ]
     return [
-        pltpu.VMEM((s_all, c3), dtype),
-        pltpu.VMEM((s_all, c3), dtype),  # dwm: rounding moves one step
-        pltpu.VMEM((s_all, c), dtype),   # earlier; output is bf16 anyway
+        pltpu.VMEM((s_all, c3), dtype),  # wm: qkv in, dqkv out (in-place)
+        pltpu.VMEM((s_all, c), dtype),
         pltpu.VMEM((s_cap, s_cap), jnp.float32),
         pltpu.VMEM((s_cap, n), jnp.float32),
         pltpu.VMEM((s_cap, n), jnp.float32),
@@ -531,15 +560,16 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    # backward stays UNPACKED: its per-program footprint (saved-qkv
-    # relayout + f32 dS/dP scratch + in/out blocks) already runs
-    # ~9-10 MB against the 16 MB scoped-vmem stack; every packed-bwd
-    # variant measured 17.6-18.9 MB and failed to compile.  Forward
-    # packing alone still halves the small-grid program count where the
-    # fixed costs were measured (fwd grid differs from bwd grid — the
-    # custom_vjp recomputes from saved qkv, so no residual mismatch).
+    # r5: the backward packs too.  The r3/r4 packed-bwd variants
+    # (17.6–18.9 MB scoped-vmem, compile fail) carried a dwm scratch the
+    # size of wm; the in-place dqkv write in ``_bwd_kernel`` removed it,
+    # and the bwd-specific ``_pack_scratch_bytes(..., bwd=True)`` bound
+    # keeps the projected peak under the 16 MB stack.  The fwd and bwd
+    # grids may still differ (the custom_vjp recomputes from saved qkv,
+    # so no residual mismatch).
     grid, in_specs, g, k, bp = _grid_and_specs(
-        b, hp, wp, c3, c, heads, n, wh, ww, pack=False)
+        b, hp, wp, c3, c, heads, n, wh, ww, pack=True,
+        dt=qkv.dtype.itemsize, bwd=True)
     chunked = k > 1
     in_specs = list(in_specs)
     if chunked:
@@ -737,11 +767,17 @@ def fused_shifted_window_attention(
     rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, num_heads)
     rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
 
-    mask_np = np.zeros((nwh, nww_p, n, n), np.float32)
+    # built on device from iota (not an np literal): big grids would
+    # otherwise inline multi-MB mask constants into the lowered module
+    # (see window_attention.shifted_window_mask_dev); XLA constant-folds
+    # the computation, so the kernel still receives a materialized array
     if shifted:
-        mask_np[:, :nww] = shifted_window_mask(
+        mask = shifted_window_mask_dev(
             hp, wp, wh, ww, sh, sw).reshape(nwh, nww, n, n)
-    mask = jnp.asarray(mask_np)
+        if nww_p != nww:
+            mask = jnp.pad(mask, ((0, 0), (0, nww_p - nww), (0, 0), (0, 0)))
+    else:
+        mask = jnp.zeros((nwh, nww_p, n, n), jnp.float32)
 
     qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
     if qkv_bias is not None:

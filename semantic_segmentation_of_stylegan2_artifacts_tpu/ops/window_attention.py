@@ -81,6 +81,33 @@ def shifted_window_mask(
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+def shifted_window_mask_dev(
+    pad_h: int, pad_w: int, wh: int, ww: int, sh: int, sw: int
+) -> jax.Array:
+    """:func:`shifted_window_mask` built from on-device iota (same values).
+
+    The np version embeds an ``(nW, N, N)`` f32 literal in the lowered
+    module — 13.1 MB at the 1024² stage-0 grid (1369 windows) — and
+    remat duplicates the consumer, which is what pushed the
+    1024²+high_res+fused-patch module to the 19.9 MB MLIR that SIGKILLed
+    the remote compile helper (BASELINE.md r4).  Iota math keeps the
+    module small; XLA constant-folds it at compile time, so the runtime
+    cost is identical.
+    """
+    hi = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 0)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 1)
+    # region ids 0/1/2 per axis, exactly the np version's three slices
+    # ((0, pad-w), (pad-w, pad-s), (pad-s, pad)); with s=0 the third
+    # region is empty (iota never reaches pad_h)
+    rh = (hi >= pad_h - wh).astype(jnp.int32) + (hi >= pad_h - sh)
+    rw = (wi >= pad_w - ww).astype(jnp.int32) + (wi >= pad_w - sw)
+    img = 3 * rh + rw
+    img = img.reshape(pad_h // wh, wh, pad_w // ww, ww)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, wh * ww)  # nW, N
+    diff = img[:, None, :] - img[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
+
+
 # --------------------------------------------------------------------------
 # Window partition / reverse (NHWC)
 # --------------------------------------------------------------------------
@@ -243,12 +270,15 @@ def _grouped_attention(
     attn = attn + jnp.asarray(bd, softmax_dtype)
 
     # per-window shift mask (broadcast over the key-side g' axis: only the
-    # g==g' block survives the block-diagonal mask anyway)
+    # g==g' block survives the block-diagonal mask anyway).  np masks are
+    # normalized to jnp so big grids never inline an (nW, N, N) literal
+    # into the module (see shifted_window_mask_dev).
     if shift_mask is not None:
-        sm = np.zeros((nwp, n, n), np.float32)
-        sm[:n_win] = shift_mask
+        sm = jnp.asarray(shift_mask, softmax_dtype)
+        if nwp != n_win:
+            sm = jnp.pad(sm, ((0, nwp - n_win), (0, 0), (0, 0)))
         sm = sm.reshape(1, s, 1, g, n, 1, n)
-        attn = attn + jnp.asarray(sm, softmax_dtype)
+        attn = attn + sm
 
     # dummy-window keys (window index >= n_win) masked for every query
     if nwp != n_win:
@@ -329,7 +359,8 @@ def shifted_window_attention(
     shifted = (sh + sw) > 0
 
     xw = spatial_to_window(x, wh, ww, sh, sw)  # (B, nW, N, C)
-    mask_np = shifted_window_mask(hp, wp, wh, ww, sh, sw) if shifted else None
+    mask_np = (shifted_window_mask_dev(hp, wp, wh, ww, sh, sw)
+               if shifted else None)
 
     out = window_attention_core(
         xw, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table,

@@ -142,11 +142,52 @@ def test_pick_bp_is_dtype_aware():
             <= fwa._PACK_SCRATCH_CAP)
 
 
-def test_fwd_pallas_packs_by_input_dtype():
-    """_grid_and_specs sees the real itemsize through _fwd_pallas."""
-    grid_bf16, _, _, _, bp_bf16 = fwa._grid_and_specs(
-        4, 7, 70, 768, 256, 8, 49, 7, 7, dt=2)
-    grid_f32, _, _, _, bp_f32 = fwa._grid_and_specs(
-        4, 7, 70, 768, 256, 8, 49, 7, 7, dt=4)
-    assert bp_bf16 == 2 and grid_bf16[0] == 2
-    assert bp_f32 == 1 and grid_f32[0] == 4
+def test_fwd_pallas_packs_by_input_dtype(monkeypatch):
+    """The real input itemsize reaches _grid_and_specs through the op.
+
+    Captures the ``dt`` kwarg while running the public entry point with
+    f32 and bf16 inputs, so a regression hardcoding ``dt`` in
+    ``_fwd_pallas``/``_bwd_pallas`` fails here.
+    """
+    seen = []
+    real = fwa._grid_and_specs
+
+    def spy(*args, **kwargs):
+        seen.append((kwargs.get("dt", 2), kwargs.get("bwd", False)))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fwa, "_grid_and_specs", spy)
+    kw = dict(window_size=(7, 7), shift_size=(3, 3), num_heads=2)
+
+    def run(dtype):
+        inp = _make_inputs(jax.random.PRNGKey(2), 2, 14, 14, 16, 2, (7, 7))
+        inp = {k: v.astype(dtype) for k, v in inp.items()}
+        g = jax.grad(lambda x: jnp.sum(fwa.fused_shifted_window_attention(
+            x, inp["qkv_kernel"], inp["qkv_bias"], inp["proj_kernel"],
+            inp["proj_bias"], inp["bias_table"], **kw)))(inp["x"])
+        jax.block_until_ready(g)
+
+    run(jnp.float32)
+    f32_calls = list(seen)
+    seen.clear()
+    run(jnp.bfloat16)
+    bf16_calls = list(seen)
+    # both fwd (bwd=False) and bwd (bwd=True) paths report the itemsize
+    assert (4, False) in f32_calls and (4, True) in f32_calls
+    assert (2, False) in bf16_calls and (2, True) in bf16_calls
+
+
+def test_bwd_packs_small_grids():
+    """r5: the backward packs images per program like the forward.
+
+    The 512² stage-2 strip (batch 8, heads 16, 5-window rows, C=512) is
+    the measured hot section (18+18 blocks); the in-place dqkv write
+    must let its backward pack bp=2 in bf16 while the f32 stage-1 strip
+    stays unpacked (scoped-vmem bound).
+    """
+    assert fwa._pick_bp(8, 16, 5, 49, 1536, dt=2, bwd=True) == 2
+    assert fwa._pick_bp(8, 8, 10, 49, 768, dt=2, bwd=True) == 2
+    assert fwa._pick_bp(8, 8, 10, 49, 768, dt=4, bwd=True) == 1
+    # the backward estimate is the larger one (extra f32/dual scratch)
+    assert (fwa._pack_scratch_bytes(2, 10, 49, 768, dt=2, bwd=True)
+            > fwa._pack_scratch_bytes(2, 10, 49, 768, dt=2, bwd=False))

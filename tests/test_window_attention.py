@@ -233,3 +233,26 @@ def test_window_group_gradients_flow():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_shifted_window_mask_dev_matches_np():
+    """The on-device (iota) mask equals the numpy oracle at every shape
+    class: divisible, padded, zero-shift-on-one-axis, and the wide
+    1024²-stage-1-like grid whose np literal motivated the dev version
+    (multi-MB MLIR constants, BASELINE.md r4 compile SIGKILL)."""
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.ops.window_attention import (
+        shifted_window_mask_dev,
+    )
+
+    cases = [
+        (14, 14, 7, 7, 3, 3),
+        (21, 21, 7, 7, 3, 3),   # padded 16->21 grid
+        (21, 28, 7, 7, 3, 0),   # shift only on H
+        (10, 15, 5, 5, 2, 2),
+        (133, 133, 7, 7, 3, 3),  # 19x19 windows (1024² stage-1 grid)
+    ]
+    for ph, pw, wh, ww, sh, sw in cases:
+        want = shifted_window_mask(ph, pw, wh, ww, sh, sw)
+        got = np.asarray(shifted_window_mask_dev(ph, pw, wh, ww, sh, sw))
+        np.testing.assert_array_equal(got, want, err_msg=str(
+            (ph, pw, wh, ww, sh, sw)))
