@@ -99,14 +99,6 @@ def main():
                     help="disable the fused Pallas window-attention kernel "
                          "(TPU.USE_PALLAS_ATTENTION, default on: flash-style "
                          "backward, no saved probs tensors, +16%%)")
-    ap.add_argument("--fused_mlp", action="store_true",
-                    help="enable the fused LN+fc1+GELU+fc2 MLP-sublayer "
-                         "kernel (TPU.FUSED_MLP; default off — measured "
-                         "in-step negative in the r4 A/B, 28.27 vs 28.73)")
-    ap.add_argument("--fused_block", action="store_true",
-                    help="enable the whole-Swin-block Pallas kernel "
-                         "(TPU.FUSED_BLOCK; supersedes the attention/MLP "
-                         "kernels on dim<=512 blocks)")
     ap.add_argument("--no_fused_patch", action="store_true",
                     help="disable the fused PatchMerging/PatchExpand Pallas "
                          "kernels (TPU.FUSED_PATCH: relayout+LN+Linear in "
@@ -140,8 +132,6 @@ def main():
         model = MSUNet(img_size=128, embed_dim=32, depths=(2, 2, 2, 2),
                        num_heads=(2, 2, 4, 4), window_size=7,
                        dtype=jnp.bfloat16, softmax_dtype=softmax_dtype,
-                       use_fused_mlp=args.fused_mlp,
-                       use_fused_block=args.fused_block,
                        gelu_tanh=not args.gelu_exact)
         img_size = 128
         batch = 2
@@ -168,8 +158,6 @@ def main():
                        window_group=args.window_group,
                        gelu_tanh=not args.gelu_exact,
                        fused_head=not args.no_fused_head,
-                       use_fused_mlp=args.fused_mlp,
-                       use_fused_block=args.fused_block,
                        use_fused_patch=not args.no_fused_patch,
                        use_pallas=_pallas_cfg(args),
                        softmax_dtype=softmax_dtype)
@@ -346,10 +334,6 @@ def _main_with_retry():
     except Exception as e:  # noqa: BLE001
         print(f"bench attempt 2 failed ({type(e).__name__}: {e}); "
               f"retrying with the newest kernels disabled", file=sys.stderr)
-    while "--fused_block" in sys.argv:
-        sys.argv.remove("--fused_block")
-    while "--fused_mlp" in sys.argv:
-        sys.argv.remove("--fused_mlp")
     if "--no_fused_patch" not in sys.argv:
         sys.argv.append("--no_fused_patch")
     main()

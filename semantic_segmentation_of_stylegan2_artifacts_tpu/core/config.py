@@ -247,17 +247,9 @@ def default_config() -> CfgNode:
     c.TPU.HOLD_WINDOW_LAYOUT = False  # window-major layout held across a stage (v5e: loses, pads feed the MLPs)
     c.TPU.GELU_TANH = True  # tanh GELU (2.2x faster on VPU); False = exact erf (strict parity)
     c.TPU.FUSED_HEAD = True  # Pallas fused GELU+depth-to-space in the up_x4 head
-    c.TPU.FUSED_MLP = False  # Pallas fused LN+fc1+GELU+fc2 MLP sublayer
-    # (flash-style bwd, 4C hidden never in HBM; dim<=512 stages only).
-    # OFF by default after the r4 hardware A/B: in-step it *loses*
-    # (512^2 b8: 28.27 img/s with vs 28.73 without — XLA's own
-    # fusions beat it once the attention kernel owns the window path),
-    # and its dim-512 sublayer program fails the remote AOT compile.
-    c.TPU.FUSED_BLOCK = False  # whole-Swin-block Pallas kernel (dim<=512;
-    # supersedes FUSED_MLP/attention kernels on supported blocks).
-    # OFF: r4 hardware A/B — scoped-vmem stack OOM at dim 512 (17.54M
-    # vs 16M limit) even with the split backward; microbench at dim<=256
-    # is a wash vs attention-kernel-only (8.99 ms vs 6.97 ms).
+    # (The r3 FUSED_MLP / FUSED_BLOCK kernels were excised in r5 after
+    # the r4 hardware A/Bs measured them in-step negative / compile-
+    # infeasible — dead-end ledger in BASELINE.md, code in git history.)
     c.TPU.FUSED_PATCH = True  # fused PatchMerging/PatchExpand Pallas
     # kernels (relayout+LN+Linear in one program; merge dim<=512, expand
     # dim<=1024). ON after the r4 hardware A/B: 512^2 b8 28.73 -> 29.29

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import fused_head, fused_mlp, fused_patch, fused_refine_head, \
-    fused_swin_block, fused_window_attention, patch_ops
+from ..ops import fused_head, fused_patch, fused_refine_head, \
+    fused_window_attention, patch_ops
 from ..ops.window_attention import (
     real_token_mask,
     relayout_windows,
@@ -166,16 +166,12 @@ class Mlp(nn.Module):
 
     def setup(self):
         # params live in DenseParams holders (same ``fc1/kernel`` tree as
-        # nn.Dense) so the fused-MLP kernel path and this XLA path share
-        # one parameter layout regardless of which is traced at init
+        # nn.Dense) so checkpoints keep one parameter layout regardless
+        # of which compute path is traced at init
         self.fc1 = DenseParams(self.in_dim or self.out_dim, self.hidden_dim)
         self.fc2 = DenseParams(self.hidden_dim, self.out_dim)
         self.drop1 = nn.Dropout(self.drop)
         self.drop2 = nn.Dropout(self.drop)
-
-    def fused_params(self):
-        """(fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) for the fused op."""
-        return self.fc1() + self.fc2()
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         k1, b1 = self.fc1()
@@ -223,10 +219,6 @@ class WindowAttention(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
             jnp.float32,
         )
-
-    def fused_block_params(self):
-        """(qkv_k, qkv_b, proj_k, proj_b, bias_table) for the fused block."""
-        return self.qkv() + self.proj() + (self.relative_position_bias_table,)
 
     def __call__(
         self,
@@ -316,8 +308,6 @@ class SwinBlock(nn.Module):
     stochastic_depth_prob: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
-    use_fused_mlp: bool = False
-    use_fused_block: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
     window_group: int = 0
@@ -365,38 +355,6 @@ class SwinBlock(nn.Module):
         """Spatial ``(B,H,W,C)`` by default; with ``window_major_hw=(H,W)``
         the input/output are window-major ``(B,nW,N,C)`` in this block's
         shift layout (held-layout path, see BasicLayer)."""
-        w = self.window_size
-        hidden = int(self.dim * self.mlp_ratio)
-        if (
-            window_major_hw is None
-            and self.use_fused_block
-            and self.qkv_bias
-            and fused_swin_block.supported(
-                x.shape, (w, w), self.num_heads, hidden,
-                dropout=self.dropout,
-                attention_dropout=self.attention_dropout,
-                deterministic=deterministic,
-            )
-        ):
-            # whole-block kernel: LN1+qkv+attention+proj+res+LN2+MLP+res
-            sd1 = self.stochastic_depth.factors(
-                x.shape[0], deterministic, self.dtype)
-            sd2 = self.stochastic_depth.factors(
-                x.shape[0], deterministic, self.dtype)
-            qkv_k, qkv_b, proj_k, proj_b, bias_table = (
-                self.attn.fused_block_params())
-            k1, b1, k2, b2 = self.mlp.fused_params()
-            s = w // 2 if self.shift else 0
-            return fused_swin_block.fused_swin_block(
-                x.astype(self.dtype),
-                self.norm1.scale, self.norm1.bias,
-                qkv_k, qkv_b, proj_k, proj_b, bias_table,
-                self.norm2.scale, self.norm2.bias,
-                k1, b1, k2, b2, sd1, sd2,
-                window_size=(w, w), shift_size=(s, s),
-                num_heads=self.num_heads, gelu_tanh=self.gelu_tanh,
-                data_mesh=self.data_mesh, data_axis=self.data_axis,
-            )
         if window_major_hw is None:
             y = self.attn(self.norm1(x), deterministic=deterministic)
         else:
@@ -422,20 +380,7 @@ class SwinBlock(nn.Module):
                 mask_np=mask_np,
             )
         x = x + self.stochastic_depth(y, deterministic)
-        hidden = int(self.dim * self.mlp_ratio)
-        if self.use_fused_mlp and fused_mlp.supported(
-            x.shape, hidden,
-            dropout=self.dropout, deterministic=deterministic,
-            dtype=x.dtype,
-        ):
-            k1, b1, k2, b2 = self.mlp.fused_params()
-            y = fused_mlp.fused_mlp(
-                x, self.norm2.scale, self.norm2.bias, k1, b1, k2, b2,
-                gelu_tanh=self.gelu_tanh,
-                data_mesh=self.data_mesh, data_axis=self.data_axis,
-            )
-        else:
-            y = self.mlp(self.norm2(x), deterministic=deterministic)
+        y = self.mlp(self.norm2(x), deterministic=deterministic)
         x = x + self.stochastic_depth(y, deterministic)
         return x
 
@@ -756,8 +701,6 @@ class BasicLayer(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
-    use_fused_mlp: bool = False
-    use_fused_block: bool = False
     use_fused_patch: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
@@ -783,8 +726,6 @@ class BasicLayer(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
-                use_fused_mlp=self.use_fused_mlp,
-                use_fused_block=self.use_fused_block,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,
@@ -830,8 +771,6 @@ class BasicLayerUp(nn.Module):
     use_remat: bool = False
     remat_policy: str = ""
     use_pallas: bool = False
-    use_fused_mlp: bool = False
-    use_fused_block: bool = False
     use_fused_patch: bool = False
     data_mesh: Optional[object] = None
     data_axis: str = "data"
@@ -857,8 +796,6 @@ class BasicLayerUp(nn.Module):
                 ),
                 qkv_bias=self.qkv_bias,
                 use_pallas=self.use_pallas,
-                use_fused_mlp=self.use_fused_mlp,
-                use_fused_block=self.use_fused_block,
                 data_mesh=self.data_mesh,
                 data_axis=self.data_axis,
                 window_group=self.window_group,

@@ -83,15 +83,11 @@ def _pallas_stages(flag: bool, img_size: int, patch: int, n_stages: int,
 def attention_plan(model) -> List[str]:
     """Per-stage kernel execution paths, for logs and dry runs.
 
-    Reports, for each encoder stage's token grid, whether the
-    whole-Swin-block kernel supersedes the per-op path, which attention
-    op runs (fused Pallas kernel vs XLA), whether the MLP sublayer uses
-    the fused kernel, and — under a data-parallel mesh — that kernels
-    are shard_mapped over the data axis (kernel custom calls are not
-    GSPMD-partitioned).
+    Reports, for each encoder stage's token grid, which attention op
+    runs (fused Pallas kernel vs XLA) and — under a data-parallel mesh —
+    that kernels are shard_mapped over the data axis (kernel custom
+    calls are not GSPMD-partitioned).
     """
-    from ..ops import fused_mlp as fm
-    from ..ops import fused_swin_block as fsb
     from ..ops import fused_window_attention as fwa
 
     lines: List[str] = []
@@ -114,19 +110,6 @@ def attention_plan(model) -> List[str]:
     sharded = bool(model.spatial_axis or getattr(model, "model_axis", ""))
     for i in range(n_stages):
         shape = (1, grids[i], grids[i], dims[i])
-        hidden = int(dims[i] * model.mlp_ratio)
-        if (
-            model.use_fused_block
-            and model.qkv_bias
-            and not sharded
-            and fsb.supported(shape, window, model.num_heads[i], hidden)
-        ):
-            lines.append(
-                f"attention stage {i}: grid {grids[i]}x{grids[i]} "
-                f"c{dims[i]} -> fused-block kernel"
-                f"{_dp_suffix(fsb.INTERPRET)}"
-            )
-            continue
         flag = model.use_pallas
         if isinstance(flag, (tuple, list)):
             flag = bool(flag[i])
@@ -144,12 +127,6 @@ def attention_plan(model) -> List[str]:
                       else "unsupported shape/backend" if flag
                       else "disabled")
             path = f"xla ({reason})"
-        if (
-            model.use_fused_mlp
-            and not sharded
-            and fm.supported(shape, hidden)
-        ):
-            path += ", fused-mlp"
         lines.append(
             f"attention stage {i}: grid {grids[i]}x{grids[i]} c{dims[i]} "
             f"-> {path}"
@@ -201,8 +178,6 @@ class MSUNetSys(nn.Module):
     # their dim) — 1024²+ uses (False, False, True, True): wide grids
     # stay on XLA (see ops/fused_window_attention.supported + BASELINE.md)
     use_pallas: Union[bool, Tuple[bool, ...]] = False
-    use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
-    use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
     use_fused_patch: bool = False  # fused merge/expand relayout kernels
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
@@ -258,8 +233,6 @@ class MSUNetSys(nn.Module):
         fused_patch_on = self.use_fused_patch and not sharded
         common = dict(
             window_size=self.window_size,
-            use_fused_mlp=self.use_fused_mlp and not sharded,
-            use_fused_block=self.use_fused_block and not sharded,
             use_fused_patch=fused_patch_on,
             data_mesh=self.data_mesh,
             data_axis=self.data_axis,
@@ -495,8 +468,6 @@ class MSUNet(nn.Module):
     remat_high_res: bool = False
     remat_policy: str = ""
     use_pallas: Union[bool, Tuple[bool, ...]] = False
-    use_fused_mlp: bool = False  # Pallas fused LN+fc1+GELU+fc2 (dim <= 512)
-    use_fused_block: bool = False  # whole-block Pallas kernel (dim <= 512)
     use_fused_patch: bool = False  # fused merge/expand relayout kernels
     window_group: int = 0  # windows per attention matmul (0 => auto)
     hold_layout: bool = False  # keep window-major layout across a stage's blocks
@@ -570,8 +541,6 @@ class MSUNet(nn.Module):
             hold_layout=bool(getattr(config.TPU, "HOLD_WINDOW_LAYOUT", False)),
             gelu_tanh=bool(getattr(config.TPU, "GELU_TANH", False)),
             fused_head=bool(getattr(config.TPU, "FUSED_HEAD", False)),
-            use_fused_mlp=bool(getattr(config.TPU, "FUSED_MLP", False)),
-            use_fused_block=bool(getattr(config.TPU, "FUSED_BLOCK", False)),
             use_fused_patch=bool(getattr(config.TPU, "FUSED_PATCH", False)),
             spatial_axis=str(getattr(config.TPU, "SPATIAL_AXIS", "")),
             model_axis=str(getattr(config.TPU, "MODEL_AXIS", "")),
@@ -601,8 +570,6 @@ class MSUNet(nn.Module):
             remat_high_res=self.remat_high_res,
             remat_policy=self.remat_policy,
             use_pallas=self.use_pallas,
-            use_fused_mlp=self.use_fused_mlp,
-            use_fused_block=self.use_fused_block,
             use_fused_patch=self.use_fused_patch,
             window_group=self.window_group,
             hold_layout=self.hold_layout,

@@ -34,8 +34,8 @@ lowered fine but crashed the Mosaic binary compiler on hardware
 Both backwards are flash-style: only ``x`` is saved (the residual/skip
 stream keeps it alive anyway); LN stats are recomputed per tile and the
 weight/LN-parameter gradients are accumulated across the sequential TPU
-grid into constant-index f32 blocks (same pattern as
-``fused_mlp._bwd_kernel``).
+grid into constant-index f32 blocks (same pattern as the
+bias-table gradient in ``fused_window_attention._bwd_kernel``).
 
 Grid = row tiles of the collapsed leading ``B·H/2`` (merge) / ``B·H``
 (expand) axis; a full output row (W/2·4C resp. W·2C elements) stays
@@ -66,7 +66,7 @@ _LN_EPS = 1e-5  # torch nn.LayerNorm epsilon (models/layers.py::LN_EPS)
 # VMEM-resident: merge C=512 -> (2048,1024) = 4 MB bf16 + 8 MB f32 dW;
 # expand C=1024 -> (1024,2048), same bytes.  Covers every instance in
 # the flagship MS-UNet.  SSA_FUSED_PATCH_DIM_CAP lowers it per-run for
-# stage-by-stage hardware triage (same knob style as fused_swin_block).
+# stage-by-stage hardware triage.
 _MERGE_DIM_CAP = 512
 _EXPAND_DIM_CAP = 1024
 
@@ -264,7 +264,7 @@ def _merge_core(x4, sc, lb, w):
     Under ``shard_map`` (data parallelism) the replicated weights'
     cotangents need no explicit collective: the shard_map transpose
     psums ``P()`` inputs' cotangents itself (same contract as
-    ``fused_mlp._mlp_core``)."""
+    ``fused_window_attention._attn_core``)."""
     return _merge_fwd_pallas(x4, sc, lb, w)
 
 

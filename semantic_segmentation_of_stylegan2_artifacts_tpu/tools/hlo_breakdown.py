@@ -38,8 +38,6 @@ def build_step(args):
         softmax_dtype=jnp.float32 if args.softmax_f32 else jnp.bfloat16,
         gelu_tanh=not args.gelu_exact,
         fused_head=not (args.gelu_exact or args.no_fused_head),
-        use_fused_mlp=not args.no_fused_mlp,
-        use_fused_block=args.fused_block,
         use_fused_patch=args.fused_patch,
         use_pallas=_pallas_stages(not args.no_pallas_attn, args.img,
                                   patch=4, n_stages=4, window=7),
@@ -76,8 +74,6 @@ def main():
     ap.add_argument("--gelu_exact", action="store_true")
     ap.add_argument("--no_pallas_attn", action="store_true")
     ap.add_argument("--no_fused_head", action="store_true")
-    ap.add_argument("--no_fused_mlp", action="store_true")
-    ap.add_argument("--fused_block", action="store_true")
     ap.add_argument("--fused_patch", action="store_true")
     ap.add_argument("--softmax_f32", action="store_true")
     ap.add_argument("--top", type=int, default=40)

@@ -1,21 +1,23 @@
 """Deployment-vs-parity numerics A/B on the real chip.
 
 Trains the synthetic-data e2e config twice with identical seeds/data:
-  parity  — erf GELU, f32 softmax, no Pallas kernels
-  deploy  — tanh GELU, bf16 softmax, fused attention+head kernels
+  parity  — erf GELU, f32 compute + f32 softmax, no Pallas kernels
+  deploy  — the SHIPPED deployment defaults (core/config.py TPU block):
+            bf16 compute, tanh GELU, bf16 softmax, fused
+            attention+refine-head+patch kernels
 and prints the final-epoch validation metric rows plus their deltas
 (the measured table lives in PARITY.md).  Matches the reference's
 fp16-AMP training-parity intent (/root/reference/trainer.py:182,308).
 
-The deploy side takes the r4 kernel set too: ``--fused_mlp`` (on by
-default, the shipped config), ``--fused_block`` / ``--fused_patch``
-(pass the A/B winners), and ``--img/--epochs`` scale the run to the
-deployment resolution (VERDICT r3 task 7: 512², >=15 epochs).
+``--deploy_f32`` keeps the deploy arm in f32 compute (isolates the
+kernel/GELU/softmax effects from the bf16 cast), and ``--img/--epochs``
+scale the run to the deployment resolution (VERDICT r4 task 4: 512²,
+>=15 epochs, shipped kernel set).
 
 Usage::
 
     python -m semantic_segmentation_of_stylegan2_artifacts_tpu.tools.parity_vs_deploy \
-        --img 512 --epochs 15 [--fused_block] [--fused_patch]
+        --img 512 --epochs 15 [--no-fused_patch] [--deploy_f32]
 """
 import argparse
 import csv
@@ -64,20 +66,19 @@ def run_one(tag: str, root: str, out_base: str, deploy: bool,
     c.TPU.GELU_TANH = deploy
     c.TPU.SOFTMAX_DTYPE = "bfloat16" if deploy else "float32"
     c.TPU.USE_PALLAS_ATTENTION = deploy
-    c.TPU.USE_PALLAS_HEAD = deploy
-    c.TPU.FUSED_MLP = deploy and args.fused_mlp
-    c.TPU.FUSED_BLOCK = deploy and args.fused_block
+    c.TPU.FUSED_HEAD = deploy
     c.TPU.FUSED_PATCH = deploy and args.fused_patch
     c.freeze()
 
     import jax.numpy as jnp
+    deploy_dtype = (jnp.float32 if (not deploy or args.deploy_f32)
+                    else jnp.bfloat16)
     model = MSUNet(img_size=IMG, embed_dim=128, depths=(2, 2, 2, 2),
                    num_heads=(4, 8, 16, 32), window_size=7,
                    gelu_tanh=deploy,
                    use_pallas=deploy, fused_head=deploy,
-                   use_fused_mlp=deploy and args.fused_mlp,
-                   use_fused_block=deploy and args.fused_block,
                    use_fused_patch=deploy and args.fused_patch,
+                   dtype=deploy_dtype,
                    softmax_dtype=jnp.bfloat16 if deploy else jnp.float32)
     out_dir = os.path.join(out_base, tag)
     logger = logging.getLogger(tag)
@@ -97,10 +98,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--fused_mlp", action=argparse.BooleanOptionalAction,
+    # default = the shipped kernel set (core/config.py TPU block):
+    # attention + refine-head + patch kernels on
+    ap.add_argument("--fused_patch", action=argparse.BooleanOptionalAction,
                     default=True)
-    ap.add_argument("--fused_block", action="store_true")
-    ap.add_argument("--fused_patch", action="store_true")
+    ap.add_argument("--deploy_f32", action="store_true",
+                    help="keep the deploy arm in f32 compute (isolates "
+                         "kernel/GELU/softmax effects from the bf16 cast)")
     args = ap.parse_args()
     out_base = tempfile.mkdtemp(prefix="parity_deploy_")
     root = os.path.join(out_base, "data")

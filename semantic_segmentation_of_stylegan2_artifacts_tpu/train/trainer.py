@@ -153,8 +153,6 @@ def validate(
 # (model attribute, config knob it corresponds to).
 _KERNEL_TIERS = (
     ("use_fused_patch", "TPU.FUSED_PATCH"),
-    ("use_fused_block", "TPU.FUSED_BLOCK"),
-    ("use_fused_mlp", "TPU.FUSED_MLP"),
     ("use_pallas", "TPU.USE_PALLAS_ATTENTION"),
     ("fused_head", "TPU.FUSED_HEAD"),
 )
@@ -382,8 +380,8 @@ def trainer(
     # The remote TPU compile helper can reject or SIGKILL large Pallas
     # kernel bodies (docs/OPERATIONS.md); bench.py degrades to the XLA
     # path when that happens, and the trainer must too, or a user
-    # training with the shipped config.yaml (FUSED_MLP on) would hit an
-    # unrecoverable compile failure.  The reference trains with its
+    # training with the shipped config.yaml (Pallas kernels on) would
+    # hit an unrecoverable compile failure.  The reference trains with its
     # defaults unconditionally (reference train.py:100-122).  Strategy:
     # AOT-compile the step on the first batch (compile errors surface
     # before any buffer is donated), retry once for transients, then
@@ -460,6 +458,17 @@ def trainer(
     def drain_loss(pending_losses) -> None:
         nonlocal iter_num
         loss_f = float(pending_losses.popleft())
+        if not np.isfinite(loss_f):
+            # the reference raises on non-finite BCE inputs
+            # (loss/DynamicLoss.py:15-19); the equivalent guard here
+            # rides the per-step host loss fetch (read anyway), so a
+            # NaN/inf-poisoned step aborts instead of silently
+            # corrupting the parameters for the rest of the run
+            raise FloatingPointError(
+                f"non-finite train loss ({loss_f}) at iteration "
+                f"{iter_num + 1} — inputs or activations produced "
+                "NaN/inf (reference guard: loss/DynamicLoss.py:15-19)"
+            )
         train_loss_list.append(loss_f)
         iter_num += 1
         if writer is not None:

@@ -162,6 +162,60 @@ def test_dp_kernel_path_matches_xla_path(tiny):
         fh.INTERPRET = False
 
 
+def test_window7_shifted_kernel_under_mesh_matches_xla():
+    """Window-7 shifted kernel per-shard under the dp mesh == XLA op.
+
+    The driver dryrun runs the kernel sections at window 4 / img 32 to
+    fit its timeout (BASELINE.md r4), so the deployment window-7 shifted
+    path under a mesh must be provably covered HERE: odd (shifted)
+    block, non-multiple-of-7 grid (18 -> pad 21, 3x3 windows, 9-region
+    mask), batch sharded 8-way, forward AND full VJP (VERDICT r4
+    task 7).
+    """
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
+        fused_window_attention as fwa,
+    )
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.ops.window_attention import (
+        shifted_window_attention,
+    )
+
+    mesh = make_mesh()
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    c, heads = 16, 2
+    inp = dict(
+        x=jax.random.normal(ks[0], (8, 18, 18, c)) * 0.5,
+        qkv_kernel=jax.random.normal(ks[1], (c, 3 * c)) * 0.1,
+        qkv_bias=jax.random.normal(ks[2], (3 * c,)) * 0.1,
+        proj_kernel=jax.random.normal(ks[3], (c, c)) * 0.1,
+        proj_bias=jax.random.normal(ks[4], (c,)) * 0.1,
+        bias_table=jax.random.normal(ks[5], (169, heads)) * 0.1,
+    )
+    kw = dict(window_size=(7, 7), shift_size=(3, 3), num_heads=heads)
+
+    def loss(fn, p, **extra):
+        out = fn(p["x"], p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+                 p["proj_bias"], p["bias_table"], **kw, **extra)
+        return jnp.sum(jnp.sin(out))
+
+    fwa.INTERPRET = True
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharded = dict(inp)
+        sharded["x"] = jax.device_put(
+            inp["x"], NamedSharding(mesh, P("data")))
+        g_fus = jax.grad(lambda p: loss(
+            fwa.fused_shifted_window_attention, p,
+            data_mesh=mesh, data_axis="data"))(sharded)
+    finally:
+        fwa.INTERPRET = False
+    g_ref = jax.grad(lambda p: loss(shifted_window_attention, p))(inp)
+    for key in inp:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(g_fus[key])), np.asarray(g_ref[key]),
+            atol=3e-5, rtol=3e-5, err_msg=key)
+
+
 def test_attention_plan_reports_paths(tiny):
     """attention_plan says which path each stage takes (kernel vs xla)."""
     from semantic_segmentation_of_stylegan2_artifacts_tpu.models.msunet import (
@@ -194,55 +248,31 @@ def test_attention_plan_reports_paths(tiny):
     assert all("xla (unsupported shape/backend)" in ln for ln in lines)
 
 
-def test_attention_plan_reports_block_and_mlp_kernels(tiny):
-    """Fused-block supersession and fused-MLP routing appear per stage."""
+def test_attention_plan_reports_kernel_routing(tiny):
+    """Per-stage attention routing and sharding bypass appear in the plan."""
     from semantic_segmentation_of_stylegan2_artifacts_tpu.models.msunet import (
         attention_plan,
     )
     from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
-        fused_mlp as fm,
-        fused_swin_block as fsb,
         fused_window_attention as fwa,
     )
 
-    # embed 32 -> dims 32/64/128/256: every stage clears the block
-    # kernel's gates (c%8, hidden%128, hd<=128), so the block kernel
-    # supersedes the per-op kernels everywhere
     model = MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
                    num_heads=(2, 2, 2, 2), window_size=4,
-                   use_pallas=True, use_fused_mlp=True,
-                   use_fused_block=True)
+                   use_pallas=True)
     fwa.INTERPRET = True
-    fm.INTERPRET = True
-    fsb.INTERPRET = True
     try:
-        lines = attention_plan(model)
-        # without the block kernel: per-op attention everywhere; the
-        # fused-MLP gate (c % 128) admits only stages 2-3
-        per_op = attention_plan(
-            MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
-                   num_heads=(2, 2, 2, 2), window_size=4,
-                   use_pallas=True, use_fused_mlp=True))
+        per_op = attention_plan(model)
     finally:
         fwa.INTERPRET = False
-        fm.INTERPRET = False
-        fsb.INTERPRET = False
-    assert len(lines) == 4
-    assert all("fused-block kernel" in ln for ln in lines)
+    assert len(per_op) == 4
     assert all("pallas-kernel" in ln for ln in per_op)
-    assert all("fused-mlp" not in ln for ln in per_op[:2])
-    assert all("fused-mlp" in ln for ln in per_op[2:])
 
     # spatial sharding bypasses every kernel
     sp = MSUNet(img_size=32, embed_dim=32, depths=(1, 1, 1, 1),
                 num_heads=(2, 2, 2, 2), window_size=4,
-                use_pallas=True, use_fused_mlp=True,
-                use_fused_block=True, spatial_axis="space")
-    fsb.INTERPRET = True
-    try:
-        lines = attention_plan(sp)
-    finally:
-        fsb.INTERPRET = False
+                use_pallas=True, spatial_axis="space")
+    lines = attention_plan(sp)
     assert all("xla (spatial sharding)" in ln for ln in lines)
 
 
@@ -448,11 +478,14 @@ def test_dp_tp_with_kernels_requested_gates_to_xla(tiny):
     )
 
     model, c, state = tiny
-    k_model = model.clone(use_pallas=True, use_fused_mlp=True,
-                          use_fused_block=True, fused_head=True,
-                          model_axis="model")
+    k_model = model.clone(use_pallas=True, use_fused_patch=True,
+                          fused_head=True, model_axis="model")
     lines = attention_plan(k_model)
-    assert all("xla (tensor parallel)" in ln for ln in lines), lines
+    attn_lines = [ln for ln in lines if ln.startswith("attention")]
+    assert attn_lines and all(
+        "xla (tensor parallel)" in ln for ln in attn_lines), lines
+    # the fused patch ops are likewise gated off under sharding
+    assert any("patch merge/expand: xla (sharded)" in ln for ln in lines)
 
     base_step = make_train_step(model, 0.2, 0.8, 0.45, donate=False)
     gated_step = make_train_step(k_model, 0.2, 0.8, 0.45, donate=False)

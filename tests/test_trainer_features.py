@@ -191,6 +191,28 @@ def test_trainer_freeze_unfreeze_escalation(synth_root, tmp_path):
     assert len(rows) == 4
 
 
+def test_non_finite_loss_aborts(synth_root, tmp_path):
+    """A NaN/inf-poisoned step raises instead of corrupting the run.
+
+    Mirrors the reference's BCE non-finite guard
+    (reference loss/DynamicLoss.py:15-19): an absurd learning rate makes
+    the first update blow the parameters to +-inf, so the next step's
+    loss is non-finite and the trainer's per-step host loss fetch must
+    abort with a clear error.
+    """
+    from semantic_segmentation_of_stylegan2_artifacts_tpu.train.trainer import (
+        trainer,
+    )
+
+    out_dir = str(tmp_path / "nan_out")
+    c = _base_config(synth_root, out_dir)
+    c.TRAIN.BASE_LR = 1e18
+    c.TRAIN.WARMUP_EPOCHS = 0
+    c.freeze()
+    with pytest.raises(FloatingPointError, match="non-finite train loss"):
+        trainer(_tiny_model(), logging.getLogger("nan"), None, out_dir, c)
+
+
 def test_batched_validation_matches_batch1(synth_root, tmp_path):
     """EVAL_BATCH=2 gives identical epoch metrics to batch-1."""
     import jax.numpy as jnp
@@ -325,8 +347,7 @@ def test_strip_newest_kernel_order():
 
     m = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
                num_heads=(2, 2, 2, 2), window_size=4,
-               use_pallas=True, use_fused_mlp=True, use_fused_block=True,
-               fused_head=True)
+               use_pallas=True, use_fused_patch=True, fused_head=True)
     order = []
     while True:
         stripped = strip_newest_kernel(m)
@@ -334,8 +355,8 @@ def test_strip_newest_kernel_order():
             break
         m, knob = stripped
         order.append(knob)
-    assert order == ["TPU.FUSED_BLOCK", "TPU.FUSED_MLP",
-                     "TPU.USE_PALLAS_ATTENTION", "TPU.FUSED_HEAD"]
+    assert order == ["TPU.FUSED_PATCH", "TPU.USE_PALLAS_ATTENTION",
+                     "TPU.FUSED_HEAD"]
     assert _kernel_tiers_enabled(m) == []
 
 
@@ -364,7 +385,7 @@ def test_trainer_compile_fallback_degrades_to_xla(
 
     model = MSUNet(img_size=32, embed_dim=16, depths=(1, 1, 1, 1),
                    num_heads=(2, 2, 2, 2), window_size=4,
-                   use_pallas=True, use_fused_mlp=True)
+                   use_pallas=True, use_fused_patch=True)
     out_dir = str(tmp_path / "out_fb")
     c = _base_config(synth_root, out_dir)
     c.TRAIN.MAX_EPOCHS = 1
@@ -375,7 +396,7 @@ def test_trainer_compile_fallback_degrades_to_xla(
     assert result == "Training Finished!"
     text = caplog.text
     assert "compile attempt 1 failed" in text
-    assert "disabling TPU.FUSED_MLP" in text
+    assert "disabling TPU.FUSED_PATCH" in text
     assert "disabling TPU.USE_PALLAS_ATTENTION" in text
     assert "recovered with TPU.USE_PALLAS_ATTENTION disabled" in text
     # training really ran on the fallback path

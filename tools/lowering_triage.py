@@ -9,7 +9,7 @@ the relay's tpu_compile_helper) — but in the r4 triage every failure so
 far was either a lowering ValueError or plausibly rank/layout-induced,
 so this is the cheap first gate.
 
-Usage: python tools/lowering_triage.py [--only block|mlp|patch|attn]
+Usage: python tools/lowering_triage.py [--only patch|attn]
 Exit code = number of failing cases.
 """
 
@@ -26,9 +26,7 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, ".")
 
 from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (  # noqa: E402
-    fused_mlp as fm,
     fused_patch as fp,
-    fused_swin_block as fb,
     fused_window_attention as fa,
 )
 
@@ -50,64 +48,6 @@ def _rng(*shape, dtype=BF16, seed=0):
     return jnp.asarray(
         np.random.default_rng(seed).standard_normal(shape), dtype
     )
-
-
-def block_cases():
-    # (B, H, W, C, heads, shift) — flagship stages with C <= the 512 cap
-    for (b, h, w, c, nh, sh) in [
-        (2, 128, 128, 128, 4, 0),
-        (2, 128, 128, 128, 4, 3),
-        (2, 64, 64, 256, 8, 0),
-        (2, 32, 32, 512, 16, 3),
-        (2, 64, 64, 512, 16, 0),   # stage 2 at 1024^2
-    ]:
-        wh = ww = 7
-        n_rel = (2 * wh - 1) * (2 * ww - 1)
-        params = dict(
-            ln1_scale=jnp.ones((c,), jnp.float32),
-            ln1_bias=jnp.zeros((c,), jnp.float32),
-            qkv_kernel=_rng(c, 3 * c), qkv_bias=jnp.zeros((3 * c,), BF16),
-            proj_kernel=_rng(c, c), proj_bias=jnp.zeros((c,), BF16),
-            bias_table=_rng(n_rel, nh, dtype=jnp.float32),
-            ln2_scale=jnp.ones((c,), jnp.float32),
-            ln2_bias=jnp.zeros((c,), jnp.float32),
-            fc1_kernel=_rng(c, 4 * c), fc1_bias=jnp.zeros((4 * c,), BF16),
-            fc2_kernel=_rng(4 * c, c), fc2_bias=jnp.zeros((c,), BF16),
-        )
-        x = _rng(b, h, w, c)
-        sd = jnp.ones((b,), jnp.float32)
-
-        def f(x, p, sh=sh, nh=nh):
-            def loss(x, p):
-                out = fb.fused_swin_block(
-                    x, p["ln1_scale"], p["ln1_bias"], p["qkv_kernel"],
-                    p["qkv_bias"], p["proj_kernel"], p["proj_bias"],
-                    p["bias_table"], p["ln2_scale"], p["ln2_bias"],
-                    p["fc1_kernel"], p["fc1_bias"], p["fc2_kernel"],
-                    p["fc2_bias"], sd, sd,
-                    window_size=(7, 7), shift_size=(sh, sh), num_heads=nh,
-                    gelu_tanh=True)
-                return jnp.sum(out.astype(jnp.float32))
-            return jax.value_and_grad(loss, argnums=(0, 1))(x, p)
-
-        yield f"block {b}x{h}x{w}x{c} h{nh} s{sh}", f, (x, params)
-
-
-def mlp_cases():
-    for (b, h, w, c) in [(2, 128, 128, 128), (2, 32, 32, 512),
-                         (2, 16, 16, 1024)]:
-        x = _rng(b, h, w, c)
-        p = (jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
-             _rng(c, 4 * c), jnp.zeros((4 * c,), BF16),
-             _rng(4 * c, c), jnp.zeros((c,), BF16))
-
-        def f(x, p):
-            def loss(x, p):
-                return jnp.sum(fm.fused_mlp(x, *p, gelu_tanh=True)
-                               .astype(jnp.float32))
-            return jax.value_and_grad(loss, argnums=(0, 1))(x, p)
-
-        yield f"mlp {b}x{h}x{w}x{c}", f, (x, p)
 
 
 def patch_cases():
@@ -166,8 +106,7 @@ def main():
     a = ap.parse_args()
     # INTERPRET must stay False: interpret-mode pallas_calls skip the
     # Mosaic lowering this tool exists to exercise.
-    gens = {"block": block_cases, "mlp": mlp_cases,
-            "patch": patch_cases, "attn": attn_cases}
+    gens = {"patch": patch_cases, "attn": attn_cases}
     fails = 0
     for key, gen in gens.items():
         if a.only and key != a.only:

@@ -1,5 +1,4 @@
-"""Per-stage Swin-block microbench: per-op kernels vs fused MLP vs fused
-whole-block kernel.
+"""Per-stage Swin-block microbench: attention kernel vs pure XLA.
 
 Times fwd+bwd of a block chain shaped like one MS-UNet stage (dim/heads/
 depth/grid from flags) under each kernel configuration, net of the
@@ -42,8 +41,6 @@ class FullStage(nn.Module):
     depth: int
     window: int
     use_pallas: bool = False
-    use_fused_mlp: bool = False
-    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -51,8 +48,6 @@ class FullStage(nn.Module):
             x = SwinBlock(
                 dim=self.dim, num_heads=self.heads, window_size=self.window,
                 shift=bool(i % 2), use_pallas=self.use_pallas,
-                use_fused_mlp=self.use_fused_mlp,
-                use_fused_block=self.use_fused_block,
                 gelu_tanh=True, softmax_dtype=jnp.bfloat16,
                 dtype=jnp.bfloat16, name=f"blk_{i}")(x, True)
         return x
@@ -82,13 +77,9 @@ class AttnOnly(nn.Module):
 class MlpOnly(nn.Module):
     dim: int
     depth: int
-    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from semantic_segmentation_of_stylegan2_artifacts_tpu.ops import (
-            fused_mlp,
-        )
         from semantic_segmentation_of_stylegan2_artifacts_tpu.models.layers \
             import LayerNormParams
 
@@ -97,14 +88,7 @@ class MlpOnly(nn.Module):
                                    name=f"norm_{i}")
             mlp = Mlp(hidden_dim=4 * self.dim, out_dim=self.dim,
                       gelu_tanh=True, dtype=jnp.bfloat16, name=f"mlp_{i}")
-            if self.use_fused_mlp and fused_mlp.supported(
-                    x.shape, 4 * self.dim):
-                k1, b1, k2, b2 = mlp.fused_params()
-                y = fused_mlp.fused_mlp(
-                    x, norm.scale, norm.bias, k1, b1, k2, b2,
-                    gelu_tanh=True)
-            else:
-                y = mlp(norm(x), deterministic=True)
+            y = mlp(norm(x), deterministic=True)
             x = x + y
         return x
 
@@ -166,10 +150,6 @@ def main():
 
     shape = dict(dim=args.dim, heads=args.heads, depth=args.depth,
                  window=args.window)
-    report("stage: fused block kernel",
-           FullStage(use_fused_block=True, **shape), x)
-    report("stage: attn+mlp kernels",
-           FullStage(use_pallas=True, use_fused_mlp=True, **shape), x)
     report("stage: attn kernel only",
            FullStage(use_pallas=True, **shape), x)
     report("stage: pure XLA", FullStage(**shape), x)
@@ -179,9 +159,6 @@ def main():
         report("attn sublayers (kernel)",
                AttnOnly(use_pallas=True, **sub), x)
         report("attn sublayers (xla)", AttnOnly(**sub), x)
-        report("mlp sublayers (kernel)",
-               MlpOnly(dim=args.dim, depth=args.depth, use_fused_mlp=True),
-               x)
         report("mlp sublayers (xla)",
                MlpOnly(dim=args.dim, depth=args.depth), x)
 
