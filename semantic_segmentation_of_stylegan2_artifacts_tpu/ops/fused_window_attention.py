@@ -119,16 +119,14 @@ def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int,
     the kernel also runs f32 models (e.g. the parity tools) — a
     dtype-blind estimate let bp=2 through in f32 and overflowed the
     16 MB scoped-vmem stack (measured 18.92 MB at the 512² stage-1
-    strip, 2026-08-20).  The backward (r5) writes dq/dk/dv in place
-    over the consumed q/k/v columns of ``wm`` — no dwm scratch — so
-    its footprint is wm + dcw + the f32 score/dP temps + two
-    block-diagonal matrices.
+    strip, 2026-08-20).  The backward footprint is wm + dwm + dcw +
+    the f32 score/dP temps + two block-diagonal matrices.
     """
     c = c3 // 3
     s_all = bp * nww * n
     s_cap = min(nww, _chunk_windows(n)) * n
     if bwd:
-        return (s_all * c3 * dt                 # wm (in-place dqkv)
+        return (2 * s_all * c3 * dt             # wm + dwm
                 + s_all * c * dt                # dcw
                 + s_cap * s_cap * (4 + 2 * dt)  # s + z + z2
                 + 3 * s_cap * n * 4)            # p, dp, mask rows
@@ -159,9 +157,10 @@ def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
     its proven unpacked size; packing grows only the window-major
     qkv/dqkv scratch, bounded by ``_pack_scratch_bytes`` (measured
     peaks run up to ~3.2× the static estimate).  Also bounded by the
-    head×window-visit compile cap.  The backward (r5) packs too: its
-    in-place dqkv write (see ``_bwd_kernel``) removed the dwm scratch
-    that made every r3/r4 packed-bwd variant overflow (17.6–18.9 MB).
+    head×window-visit compile cap.  Backward packing exists behind
+    ``SSA_ATTN_BWD_PACK=1`` but measured in-step NEGATIVE (28.71 vs
+    29.91 img/s, 512² b8, 2026-08-20) — backward programs are compute-
+    bound, not fixed-cost-bound — so only the forward packs by default.
     """
     cap = _BWD_VISIT_CAP if bwd else _VISIT_CAP
     bp = 1
@@ -312,7 +311,8 @@ def _bwd_kernel(
     mask_ref,   # (1, 1, nWc, N, N) f32
     dqkv_ref,   # (1, wh, 1, Wc, 3C)
     dbias_ref,  # (heads, N, N) f32 — accumulated across the whole grid
-    wm_ref,     # scratch (nWc*N, 3C): qkv in, dqkv out (in-place)
+    wm_ref,     # scratch (nWc*N, 3C)
+    dwm_ref,    # scratch (nWc*N, 3C)
     dcw_ref,    # scratch (nWc*N, C)
     s_ref,      # scratch (S_cap, S_cap) f32: scores, then dP
     p_ref,      # scratch (S_cap, N) f32
@@ -413,14 +413,12 @@ def _bwd_kernel(
                 )
 
             # dq = (dS @ k) * scale ; dk = (dS^T @ q) * scale ; dv = P^T @ dctx
-            # — computed as values first (dk still reads q, dq reads k),
-            # then written IN PLACE over this head's consumed q/k/v
-            # columns of wm: heads own disjoint columns and groups own
-            # disjoint rows, so nothing read later is clobbered.  This
-            # removes the dwm scratch (the largest backward block) —
-            # what made every earlier packed-backward variant overflow
-            # the 16 MB scoped-vmem stack.  dwm was input-dtype already,
-            # so the rounding is unchanged.
+            # NOTE an in-place variant (writing dq/dk/dv over the consumed
+            # q/k/v columns of wm, dropping this dwm scratch) measured
+            # -2% in-step on v5e (29.26 vs 29.91 img/s, 2026-08-20):
+            # read-and-write on one ref serializes Mosaic's scheduling.
+            # dwm stays input dtype — rounding moves one step earlier;
+            # output is bf16 anyway.
             dq = jax.lax.dot_general(
                 z2_ref[:s, :s], k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -433,19 +431,19 @@ def _bwd_kernel(
                 z_ref[:s, :s], dctx, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
-                dq.astype(wm_ref.dtype))
-            wm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = (
-                dk.astype(wm_ref.dtype))
-            wm_ref[w0 * n:w0 * n + s,
-                   2 * c + h * hd:2 * c + (h + 1) * hd] = (
-                dv.astype(wm_ref.dtype))
+            dwm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd] = (
+                dq.astype(dwm_ref.dtype))
+            dwm_ref[w0 * n:w0 * n + s, c + h * hd:c + (h + 1) * hd] = (
+                dk.astype(dwm_ref.dtype))
+            dwm_ref[w0 * n:w0 * n + s,
+                    2 * c + h * hd:2 * c + (h + 1) * hd] = (
+                dv.astype(dwm_ref.dtype))
         w0 += g
 
     for w in range(nwc):
         img, wloc = divmod(w, nwi)
         wr, wc_ = divmod(wloc, nww_blk)
-        dq_wc = (wm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
+        dq_wc = (dwm_ref[w * n:(w + 1) * n, :].reshape(wh, ww, c3)
                  ).astype(dqkv_ref.dtype)
         if chunked:
             dqkv_ref[0, :, 0, wc_ * ww:(wc_ + 1) * ww, :] = dq_wc
@@ -512,7 +510,8 @@ def _scratch(g_total: int, g_img: int, n: int, c3: int, c: int, dtype,
             pltpu.VMEM((s_all, c), dtype),
         ]
     return [
-        pltpu.VMEM((s_all, c3), dtype),  # wm: qkv in, dqkv out (in-place)
+        pltpu.VMEM((s_all, c3), dtype),
+        pltpu.VMEM((s_all, c3), dtype),  # dwm (see in-place note in _bwd_kernel)
         pltpu.VMEM((s_all, c), dtype),
         pltpu.VMEM((s_cap, s_cap), jnp.float32),
         pltpu.VMEM((s_cap, n), jnp.float32),
@@ -560,15 +559,18 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
-    # r5: the backward packs too.  The r3/r4 packed-bwd variants
-    # (17.6–18.9 MB scoped-vmem, compile fail) carried a dwm scratch the
-    # size of wm; the in-place dqkv write in ``_bwd_kernel`` removed it,
-    # and the bwd-specific ``_pack_scratch_bytes(..., bwd=True)`` bound
-    # keeps the projected peak under the 16 MB stack.  The fwd and bwd
-    # grids may still differ (the custom_vjp recomputes from saved qkv,
+    # Backward packing (SSA_ATTN_BWD_PACK=1) is default-OFF: the r5
+    # hardware A/B measured it in-step negative (28.71 packed / 29.26
+    # in-place-unpacked / 29.91 dwm-unpacked img/s at 512² b8, floors
+    # 0.92/0.76/0.99 — BASELINE.md r5) and its Mosaic compile ran 17
+    # min vs ~3.  Backward programs are compute-bound, not program-
+    # fixed-cost-bound like the small forward bodies.  The dtype-aware
+    # bwd scratch bound still gates the env-enabled path; the fwd and
+    # bwd grids may differ (the custom_vjp recomputes from saved qkv,
     # so no residual mismatch).
     grid, in_specs, g, k, bp = _grid_and_specs(
-        b, hp, wp, c3, c, heads, n, wh, ww, pack=True,
+        b, hp, wp, c3, c, heads, n, wh, ww,
+        pack=os.environ.get("SSA_ATTN_BWD_PACK", "0") == "1",
         dt=qkv.dtype.itemsize, bwd=True)
     chunked = k > 1
     in_specs = list(in_specs)
