@@ -222,6 +222,7 @@ def _fwd_kernel(
     ww: int,
     heads: int,
     chunked: bool,
+    masked: bool,
 ):
     if chunked:
         tiles = [qkv_ref[0, :, 0]]
@@ -271,13 +272,19 @@ def _fwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            mall = (mask_ref[0, 0] if chunked
-                    else mask_ref[...].reshape(nwi, n, n))
-            if bp == 1:
-                blk += mall[w0:w0 + g].reshape(s, n)
-            else:  # packed windows wrap around per-image strip masks
-                blk += jnp.concatenate(
-                    [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
+            # unshifted blocks skip the mask entirely (``masked=False``):
+            # an all-zero mask operand folds to an XLA broadcast that
+            # Mosaic materializes INSIDE scoped vmem — the (1,10,49,49)
+            # block alone put the 1024² dim-512 strip 992K over the
+            # 16 MB stack (2026-08-20) — and the additions are dead work
+            if masked:
+                mall = (mask_ref[0, 0] if chunked
+                        else mask_ref[...].reshape(nwi, n, n))
+                if bp == 1:
+                    blk += mall[w0:w0 + g].reshape(s, n)
+                else:  # packed windows wrap around per-image strip masks
+                    blk += jnp.concatenate(
+                        [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
             probs = _softmax_rows(blk).astype(z_ref.dtype)
             for w in range(g):
                 z_ref[w * n:(w + 1) * n, w * n:(w + 1) * n] = (
@@ -324,6 +331,7 @@ def _bwd_kernel(
     ww: int,
     heads: int,
     chunked: bool,
+    masked: bool,
 ):
     if chunked:
         tiles = [qkv_ref[0, :, 0]]
@@ -377,13 +385,14 @@ def _bwd_kernel(
                 )
             blk = p_ref[:s, :] * scale
             blk += jnp.broadcast_to(bias_ref[h][None], (g, n, n)).reshape(s, n)
-            mall = (mask_ref[0, 0] if chunked
-                    else mask_ref[...].reshape(nwi, n, n))
-            if bp == 1:
-                blk += mall[w0:w0 + g].reshape(s, n)
-            else:
-                blk += jnp.concatenate(
-                    [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
+            if masked:  # see the forward-kernel note
+                mall = (mask_ref[0, 0] if chunked
+                        else mask_ref[...].reshape(nwi, n, n))
+                if bp == 1:
+                    blk += mall[w0:w0 + g].reshape(s, n)
+                else:
+                    blk += jnp.concatenate(
+                        [mall[(w0 + j) % nwi] for j in range(g)], axis=0)
             probs = _softmax_rows(blk)
             pz = probs.astype(z_ref.dtype)
             for w in range(g):
@@ -461,7 +470,7 @@ def _layout(nww: int, n: int) -> Tuple[int, int]:
 
 
 def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2,
-                    bwd=False):
+                    bwd=False, masked=True):
     """Grid + input specs.
 
     ``k == 1`` (strip fits one program): plain 4D layout, 2D grid — the
@@ -480,8 +489,11 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, n, n), lambda b_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, nww, n, n), lambda b_, i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if masked else
+             pl.BlockSpec((1, 1, n, n), lambda b_, i: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
         ]
         return grid, in_specs, bp * g, k, bp
     grid = (b, nwh, k)
@@ -491,8 +503,11 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((heads, n, n), lambda b_, i, k_: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, g, n, n), lambda b_, i, k_: (i, k_, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, 1, g, n, n), lambda b_, i, k_: (i, k_, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+         if masked else
+         pl.BlockSpec((1, 1, 1, n, n), lambda b_, i, k_: (0, 0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
     ]
     return grid, in_specs, g, k, 1
 
@@ -521,16 +536,18 @@ def _scratch(g_total: int, g_img: int, n: int, c3: int, c: int, dtype,
     ]
 
 
-def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
+def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads, masked):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
     grid, in_specs, g, k, bp = _grid_and_specs(
-        b, hp, wp, c3, c, heads, n, wh, ww, dt=qkv.dtype.itemsize)
+        b, hp, wp, c3, c, heads, n, wh, ww, dt=qkv.dtype.itemsize,
+        masked=masked)
     chunked = k > 1
     if chunked:
         qkv_in = qkv.reshape(b, hp, k, g * ww, c3)
-        mask_in = mask.reshape(mask.shape[0], k, g, n, n)
+        mask_in = (mask.reshape(mask.shape[0], k, g, n, n) if masked
+                   else mask.reshape(1, 1, 1, n, n))
         out_shape = jax.ShapeDtypeStruct((b, hp, k, g * ww, c), qkv.dtype)
         out_spec = pl.BlockSpec((1, wh, 1, g * ww, c),
                                 lambda b_, i, k_: (b_, i, k_, 0, 0),
@@ -543,7 +560,7 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, wh=wh, ww=ww, heads=heads,
-                          chunked=chunked),
+                          chunked=chunked, masked=masked),
         out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
@@ -555,7 +572,7 @@ def _fwd_pallas(qkv, rel_bias, mask, *, wh, ww, heads):
     return out.reshape(b, hp, wp, c)
 
 
-def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
+def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads, masked):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
@@ -571,13 +588,14 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     grid, in_specs, g, k, bp = _grid_and_specs(
         b, hp, wp, c3, c, heads, n, wh, ww,
         pack=os.environ.get("SSA_ATTN_BWD_PACK", "0") == "1",
-        dt=qkv.dtype.itemsize, bwd=True)
+        dt=qkv.dtype.itemsize, bwd=True, masked=masked)
     chunked = k > 1
     in_specs = list(in_specs)
     if chunked:
         qkv_in = qkv.reshape(b, hp, k, g * ww, c3)
         dctx_in = dctx.reshape(b, hp, k, g * ww, c)
-        mask_in = mask.reshape(mask.shape[0], k, g, n, n)
+        mask_in = (mask.reshape(mask.shape[0], k, g, n, n) if masked
+                   else mask.reshape(1, 1, 1, n, n))
         in_specs.insert(1, pl.BlockSpec((1, wh, 1, g * ww, c),
                                         lambda b_, i, k_: (b_, i, k_, 0, 0),
                                         memory_space=pltpu.VMEM))
@@ -610,7 +628,7 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
         )
     dqkv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads,
-                          chunked=chunked),
+                          chunked=chunked, masked=masked),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
@@ -622,8 +640,8 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads):
     return dqkv.reshape(b, hp, wp, c3), dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attn_core(qkv, rel_bias, mask, wh, ww, heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_core(qkv, rel_bias, mask, wh, ww, heads, masked):
     """Window attention on spatial-rolled qkv: ``(B,Hp,Wp,3C)->(B,Hp,Wp,C)``.
 
     Under ``shard_map`` (data parallelism) the replicated bias table's
@@ -631,18 +649,20 @@ def _attn_core(qkv, rel_bias, mask, wh, ww, heads):
     psums ``P()`` inputs' cotangents itself (DataParallel semantics,
     reference trainer.py:96-97).
     """
-    return _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
+    return _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads,
+                       masked=masked)
 
 
-def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads):
-    out = _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads)
+def _attn_core_fwd(qkv, rel_bias, mask, wh, ww, heads, masked):
+    out = _fwd_pallas(qkv, rel_bias, mask, wh=wh, ww=ww, heads=heads,
+                      masked=masked)
     return out, (qkv, rel_bias, mask)
 
 
-def _attn_core_bwd(wh, ww, heads, res, dctx):
+def _attn_core_bwd(wh, ww, heads, masked, res, dctx):
     qkv, rel_bias, mask = res
     dqkv, dbias = _bwd_pallas(
-        qkv, dctx, rel_bias, mask, wh=wh, ww=ww, heads=heads
+        qkv, dctx, rel_bias, mask, wh=wh, ww=ww, heads=heads, masked=masked
     )
     return dqkv, dbias.astype(rel_bias.dtype), jnp.zeros_like(mask)
 
@@ -650,8 +670,8 @@ def _attn_core_bwd(wh, ww, heads, res, dctx):
 _attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
 
 
-def _attn_core_sharded(qkv, rel_bias, mask, wh, ww, heads, data_mesh,
-                       data_axis):
+def _attn_core_sharded(qkv, rel_bias, mask, wh, ww, heads, masked,
+                       data_mesh, data_axis):
     """Run ``_attn_core`` per data-parallel shard via ``shard_map``.
 
     Pallas custom calls have no GSPMD partitioning rule — under a mesh
@@ -664,10 +684,10 @@ def _attn_core_sharded(qkv, rel_bias, mask, wh, ww, heads, data_mesh,
     n = data_mesh.shape[data_axis]
     if qkv.shape[0] % n:
         # uneven batch (e.g. batch-1 eval on a wide mesh): single-program
-        return _attn_core(qkv, rel_bias, mask, wh, ww, heads)
+        return _attn_core(qkv, rel_bias, mask, wh, ww, heads, masked)
     f = jax.shard_map(
         # custom_vjp nondiff args must ride positionally
-        lambda q, b, m: _attn_core(q, b, m, wh, ww, heads),
+        lambda q, b, m: _attn_core(q, b, m, wh, ww, heads, masked),
         mesh=data_mesh,
         in_specs=(P(data_axis), P(), P()),
         out_specs=P(data_axis),
@@ -772,14 +792,18 @@ def fused_shifted_window_attention(
     # built on device from iota (not an np literal): big grids would
     # otherwise inline multi-MB mask constants into the lowered module
     # (see window_attention.shifted_window_mask_dev); XLA constant-folds
-    # the computation, so the kernel still receives a materialized array
+    # the computation, so the kernel still receives a materialized array.
+    # Unshifted blocks get a (1,1,n,n) dummy and skip the mask in-kernel
+    # (masked=False): an all-zero operand folds to a broadcast that
+    # Mosaic materializes in scoped vmem — 992K over the 16 MB stack at
+    # the 1024² dim-512 strip (2026-08-20).
     if shifted:
         mask = shifted_window_mask_dev(
             hp, wp, wh, ww, sh, sw).reshape(nwh, nww, n, n)
         if nww_p != nww:
             mask = jnp.pad(mask, ((0, 0), (0, nww_p - nww), (0, 0), (0, 0)))
     else:
-        mask = jnp.zeros((nwh, nww_p, n, n), jnp.float32)
+        mask = jnp.zeros((1, 1, n, n), jnp.float32)
 
     qkv = jnp.einsum("bhwc,cd->bhwd", x, qkv_kernel.astype(x.dtype))
     if qkv_bias is not None:
@@ -787,9 +811,9 @@ def fused_shifted_window_attention(
 
     if data_mesh is not None and data_mesh.shape.get(data_axis, 1) > 1:
         ctx = _attn_core_sharded(qkv, rel_bias, mask, wh, ww, num_heads,
-                                 data_mesh, data_axis)
+                                 shifted, data_mesh, data_axis)
     else:
-        ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads)
+        ctx = _attn_core(qkv, rel_bias, mask, wh, ww, num_heads, shifted)
 
     if pad_chunk:
         ctx = ctx[:, :, :wp, :]
