@@ -173,13 +173,32 @@ def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
     return bp
 
 
-def _group_sizes(n_win: int, n_tok: int) -> Tuple[int, ...]:
-    """Split a program's ``n_win`` windows into <=_S_CAP//n_tok groups."""
-    g_cap = max(1, _S_CAP // n_tok)
+def _group_sizes(n_win: int, n_tok: int,
+                 cap: int = 0) -> Tuple[int, ...]:
+    """Split a program's ``n_win`` windows into <=cap//n_tok groups
+    (``cap`` in packed tokens; 0 => _S_CAP)."""
+    g_cap = max(1, (cap or _S_CAP) // n_tok)
     sizes = [g_cap] * (n_win // g_cap)
     if n_win % g_cap:
         sizes.append(n_win % g_cap)
     return tuple(sizes)
+
+
+# Backward score-group token cap, per shape: a strip whose unpacked
+# backward static stack estimate exceeds this drops to 5-window groups
+# (cap 256), shrinking the f32 score/dS/probs scratch ~4x.  The only
+# flagship shape this triggers on is the 1024² dim-512 strip
+# ((2,70,70,·3·512): 5.7 MB static -> 16.07 MB actual, 72K OVER the
+# 16 MB scoped-vmem stack even with the unshifted-mask fix); 512²
+# shapes stay at cap 512 (their measured 9-10 MB stacks are fine, and
+# the whole-model SSA_ATTN_S_CAP=256 A/B read ~neutral in-step).
+_BWD_GCAP_LIMIT = int(4.5 * 2 ** 20)
+
+
+def _bwd_gcap(nww: int, n: int, c3: int, dt: int) -> int:
+    if _pack_scratch_bytes(1, nww, n, c3, dt, bwd=True) > _BWD_GCAP_LIMIT:
+        return 256
+    return _S_CAP
 
 
 def _tile_to_wm(tile, wm_ref, wh: int, ww: int, c3: int, base: int = 0):
@@ -332,6 +351,7 @@ def _bwd_kernel(
     heads: int,
     chunked: bool,
     masked: bool,
+    gcap: int,
 ):
     if chunked:
         tiles = [qkv_ref[0, :, 0]]
@@ -366,7 +386,7 @@ def _bwd_kernel(
     w0 = 0
     # per-image groups: packed programs reuse the proven unpacked
     # score/probs scratch footprint (scoped-vmem stack limit)
-    for g in _group_sizes(nwi, n) * bp:
+    for g in _group_sizes(nwi, n, gcap) * bp:
         s = g * n
         for h in range(heads):
             q = wm_ref[w0 * n:w0 * n + s, h * hd:(h + 1) * hd]
@@ -513,9 +533,9 @@ def _grid_and_specs(b, hp, wp, c3, c, heads, n, wh, ww, pack=True, dt=2,
 
 
 def _scratch(g_total: int, g_img: int, n: int, c3: int, c: int, dtype,
-             bwd: bool):
+             bwd: bool, gcap: int = 0):
     s_all = g_total * n
-    s_cap = min(g_img, _chunk_windows(n)) * n
+    s_cap = min(g_img, max(1, (gcap or _S_CAP) // n)) * n
     if not bwd:
         return [
             pltpu.VMEM((s_all, c3), dtype),
@@ -576,6 +596,9 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads, masked):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     n = wh * ww
+    nww_s = (wp + (-wp % ww)) // ww
+    gcap = _bwd_gcap(min(nww_s, _MAX_BODY_WINDOWS), n, c3,
+                     qkv.dtype.itemsize)
     # Backward packing (SSA_ATTN_BWD_PACK=1) is default-OFF: the r5
     # hardware A/B measured it in-step negative (28.71 packed / 29.26
     # in-place-unpacked / 29.91 dwm-unpacked img/s at 512² b8, floors
@@ -628,13 +651,13 @@ def _bwd_pallas(qkv, dctx, rel_bias, mask, *, wh, ww, heads, masked):
         )
     dqkv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, wh=wh, ww=ww, heads=heads,
-                          chunked=chunked, masked=masked),
+                          chunked=chunked, masked=masked, gcap=gcap),
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=_scratch(g, g // bp, n, c3, c, qkv.dtype,
-                                bwd=True),
+                                bwd=True, gcap=gcap),
         interpret=INTERPRET,
     )(qkv_in, dctx_in, rel_bias, mask_in)
     return dqkv.reshape(b, hp, wp, c3), dbias
