@@ -258,6 +258,7 @@ class WindowAttention(nn.Module):
             x.shape, tuple(self.window_size), self.num_heads,
             attention_dropout=self.attention_dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
         ):
             # fused TPU kernel (no dropout path); XLA op otherwise
             return fused_window_attention.fused_shifted_window_attention(

@@ -116,7 +116,8 @@ def attention_plan(model) -> List[str]:
         active = (
             bool(flag)
             and not sharded
-            and fwa.supported(shape, window, model.num_heads[i])
+            and fwa.supported(shape, window, model.num_heads[i],
+                              dtype=getattr(model, "dtype", None))
         )
         if active:
             path = "pallas-kernel" + _dp_suffix(fwa.INTERPRET)

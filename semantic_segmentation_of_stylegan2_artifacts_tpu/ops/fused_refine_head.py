@@ -377,12 +377,16 @@ def _bwd_kernel(yp_ref, y_ref, yn_ref,
         dy_ref[0, r] = (gflat * _gelu_grad_f32(yrow)).astype(dy_ref.dtype)
 
 
-def _pick_tr(ht: int, w: int, c: int) -> int:
+def _pick_tr(ht: int, w: int, c: int, dt: int = 2) -> int:
     """Token rows per tile: biggest power of two dividing ``ht`` whose
     largest backward f32 temporary ``(4tr+4, W, C)`` stays under ~10 MB
-    (several such are live at once; v5e VMEM is 128 MB)."""
+    (several such are live at once; v5e VMEM is 128 MB).  ``dt`` is the
+    model itemsize: the storage-dtype blocks/scratch double in f32 and
+    the 512² f32 step measured 119 MB against the kernel's 100 MB vmem
+    limit at tr=8 (2026-08-20), so f32 halves the budget."""
+    budget = 10_000_000 if dt == 2 else 5_000_000
     for tr in (8, 4, 2, 1):
-        if ht % tr == 0 and (4 * tr + 4) * w * c * 4 <= 10_000_000:
+        if ht % tr == 0 and (4 * tr + 4) * w * c * 4 <= budget:
             return tr
     return 1
 
@@ -451,7 +455,7 @@ def _prep_params(w1, b1, w2, b2, gamma, beta, dtype):
 def _fwd_pallas(y, w1, b1, w2, b2, gamma, beta, save_residuals: bool):
     b, ht, wt, c16 = y.shape
     c = c16 // 16
-    tr = _pick_tr(ht, 4 * wt, c)
+    tr = _pick_tr(ht, 4 * wt, c, y.dtype.itemsize)
     grid, y_specs, w_specs, o_spec, n_tiles, w = _specs(
         b, ht, wt, c16, c, tr, y.dtype)
     w1r, b1r, w2r, b2r, gr, ber = _prep_params(
@@ -490,7 +494,7 @@ def _fwd_pallas(y, w1, b1, w2, b2, gamma, beta, save_residuals: bool):
 def _bwd_pallas(y, pre, a2, dout, w1, w2, gamma):
     b, ht, wt, c16 = y.shape
     c = c16 // 16
-    tr = _pick_tr(ht, 4 * wt, c)
+    tr = _pick_tr(ht, 4 * wt, c, y.dtype.itemsize)
     w = 4 * wt
     n_tiles = ht // tr
     grid = (b, n_tiles)

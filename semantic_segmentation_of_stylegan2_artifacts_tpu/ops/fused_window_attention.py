@@ -136,12 +136,14 @@ def _pack_scratch_bytes(bp: int, nww: int, n: int, c3: int,
             + 2 * s_cap * n * 4)        # p, mask rows
 
 
-# packing budget for the estimate above: measured peaks run up to ~3.2×
-# the static scratch (18.92 MB actual from a 5.84 MiB static estimate,
-# 2026-08-20) vs the 16 MB scoped-vmem stack limit -> 4.5 MiB keeps the
-# projected peak under the stack (4.5 × 3.25 ≈ 14.6 MB); shipped bf16
-# shapes max out ~3.6 MB static either way.
-_PACK_SCRATCH_CAP = int(4.5 * 2 ** 20)
+# packing budget for the estimate above: measured peaks run up to ~3.5×
+# the static scratch (18.92 MB actual from a 5.84 MiB static estimate;
+# 16.51 MB actual from a 4.68 MiB f32 stage-2 forward estimate that a
+# 4.5 MiB cap let through, 2026-08-20) vs the 16 MB scoped-vmem stack
+# limit -> 4.25 MiB keeps the projected peak under the stack; shipped
+# bf16 shapes max out ~3.6 MB static either way, so only marginal f32
+# packings are excluded.
+_PACK_SCRATCH_CAP = int(4.25 * 2 ** 20)
 
 
 def _pick_bp(b: int, heads: int, nww: int, n: int, c3: int,
@@ -190,9 +192,9 @@ def _group_sizes(n_win: int, n_tok: int,
 # flagship shape this triggers on is the 1024² dim-512 strip
 # ((2,70,70,·3·512): 5.7 MB static -> 16.07 MB actual, 72K OVER the
 # 16 MB scoped-vmem stack even with the unshifted-mask fix); 512²
-# shapes stay at cap 512 (their measured 9-10 MB stacks are fine, and
-# the whole-model SSA_ATTN_S_CAP=256 A/B read ~neutral in-step).
-_BWD_GCAP_LIMIT = int(4.5 * 2 ** 20)
+# bf16 shapes stay at cap 512 (their measured 9-10 MB stacks are fine,
+# and the whole-model SSA_ATTN_S_CAP=256 A/B read ~neutral in-step).
+_BWD_GCAP_LIMIT = int(4.25 * 2 ** 20)
 
 
 def _bwd_gcap(nww: int, n: int, c3: int, dt: int) -> int:
@@ -726,8 +728,16 @@ def supported(
     *,
     attention_dropout: float = 0.0,
     deterministic: bool = True,
+    dtype=None,
 ) -> bool:
-    """Kernel applicability for a ``(B,H,W,C)`` input."""
+    """Kernel applicability for a ``(B,H,W,C)`` input.
+
+    ``dtype``: the model compute dtype (None = bf16 deployment).  f32
+    models (parity tooling) keep the kernel only on narrow strips: wide
+    f32 strips overflow the 16 MB scoped-vmem stack even at 5-window
+    score groups (measured 16.68 MB at the 19-window dim-128 strip,
+    2026-08-20) — they fall back to the XLA path instead.
+    """
     if not deterministic and attention_dropout > 0.0:
         return False  # dropout inside attention stays on the XLA path
     b, h, w, c = shape
@@ -740,14 +750,17 @@ def supported(
         return False  # lane-slice granularity
     if n > _S_CAP:
         return False
+    nww = (w + (-w % ww)) // ww
     if INTERPRET:
-        return True
+        return True  # interpret mode has no scoped-vmem stack
+    if dtype is not None and jnp.dtype(dtype).itemsize >= 4 and nww > 5:
+        return False  # f32 wide strips: scoped-vmem (see docstring)
     # wide grids fall back to XLA: chunked-kernel 1024² measured slower
     # than the XLA path (4.75 vs 5.32 img/s at b2 — pad windows + program
     # count), and >20-window bodies OOM the remote Mosaic compiler.
     # (Small grids stay on the kernel: gating nww<8 back to XLA measured
     # 26.3 vs 28.0 img/s at 512² — it wins at every supported shape.)
-    if (w + (-w % ww)) // ww > _MAX_BODY_WINDOWS:
+    if nww > _MAX_BODY_WINDOWS:
         return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
