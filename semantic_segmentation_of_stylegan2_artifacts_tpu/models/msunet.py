@@ -122,9 +122,15 @@ def attention_plan(model) -> List[str]:
         if active:
             path = "pallas-kernel" + _dp_suffix(fwa.INTERPRET)
         else:
+            f32_wide = (flag and not sharded
+                        and getattr(model, "dtype", None) is not None
+                        and jnp.dtype(model.dtype).itemsize >= 4
+                        and fwa.supported(shape, window,
+                                          model.num_heads[i]))
             reason = ("spatial sharding" if model.spatial_axis
                       else "tensor parallel"
                       if getattr(model, "model_axis", "")
+                      else "f32 wide strip (scoped vmem)" if f32_wide
                       else "unsupported shape/backend" if flag
                       else "disabled")
             path = f"xla ({reason})"
